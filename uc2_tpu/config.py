@@ -1,0 +1,111 @@
+"""Model and run configuration.
+
+TPU-native rebuild of the reference's config system:
+  * ``UC2Config``     — model architecture config (reference: VLXLMRConfig,
+    model/model.py:45-141, and legacy UniterConfig, model/model.py:778+).
+  * ``parse_with_config`` — argparse + JSON merge where CLI flags win
+    (reference: utils/misc.py:23-33).
+
+Unlike the reference (mutable attribute bag), the config here is a frozen
+dataclass so it can be closed over by jitted functions and hashed as a static
+argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, Optional
+
+# Reference constants (utils/const.py:1-4)
+IMG_DIM = 2048
+IMG_LABEL_DIM = 1601
+BUCKET_SIZE = 8192
+
+
+@dataclasses.dataclass(frozen=True)
+class UC2Config:
+    """Architecture config for the single-stream vision-language encoder.
+
+    Defaults mirror uc2-base (reference config/uc2-base.json): XLM-R vocab,
+    max_position_embeddings 514, LayerNorm eps 1e-5, pad token 1.
+
+    Note on LayerNorm epsilons: the reference hardcodes eps=1e-12 inside the
+    transformer blocks (model/layer.py:108,149,196) and the region heads
+    (model/model.py:1148,1164) regardless of ``layer_norm_eps``, while the
+    embedding and Roberta-LM-head LayerNorms use ``layer_norm_eps``
+    (model/model.py:301, model/layer.py:242). We reproduce both so logits
+    match to fp32 tolerance.
+    """
+
+    vocab_size: int = 250002
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_act: str = "gelu"
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    max_position_embeddings: int = 514
+    type_vocab_size: int = 2
+    initializer_range: float = 0.02
+    layer_norm_eps: float = 1e-5
+    # eps used by the in-block (attention-output / FFN-output) LayerNorms and
+    # the region heads; hardcoded to 1e-12 in the reference.
+    block_layer_norm_eps: float = 1e-12
+    pad_token_id: int = 1
+    img_dim: int = IMG_DIM
+    img_label_dim: int = IMG_LABEL_DIM
+
+    # --- TPU-specific knobs (no reference equivalent) ---
+    # Compute dtype for activations ("bfloat16" on TPU, "float32" for parity).
+    dtype: str = "bfloat16"
+    # Use the fused Pallas attention kernel when on TPU.
+    use_pallas_attention: bool = True
+    # Remat (activation checkpointing) policy for encoder layers: "none",
+    # "full", or "dots" (save matmul outputs only).
+    remat: str = "none"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "UC2Config":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
+    @classmethod
+    def from_json_file(cls, path: str) -> "UC2Config":
+        with open(path, "r", encoding="utf-8") as f:
+            return cls.from_dict(json.load(f))
+
+    def replace(self, **kw) -> "UC2Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+def parse_with_config(parser, argv: Optional[list] = None):
+    """argparse wrapper: ``--config file.json`` fills flags not given on the CLI.
+
+    Mirrors reference utils/misc.py:23-33 (CLI wins over JSON).
+    """
+    args = parser.parse_args(argv)
+    if getattr(args, "config", None):
+        with open(args.config, "r", encoding="utf-8") as f:
+            config_args = json.load(f)
+        override_keys = {
+            arg[2:].split("=")[0]
+            for arg in (argv if argv is not None else __import__("sys").argv[1:])
+            if arg.startswith("--")
+        }
+        for k, v in config_args.items():
+            if k not in override_keys:
+                setattr(args, k, v)
+    if hasattr(args, "conf_th") and hasattr(args, "num_bb"):
+        del_keys = [k for k in vars(args) if k.startswith("_")]
+        for k in del_keys:
+            delattr(args, k)
+    return args
