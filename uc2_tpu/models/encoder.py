@@ -140,7 +140,7 @@ class ImageEmbeddings(nn.Module):
                 "mask_embedding",
                 nn.initializers.normal(stddev=cfg.initializer_range),
                 (2, cfg.img_dim), jnp.float32)
-            mask_emb = mask_emb.at[0].set(0.0)
+            mask_emb = jnp.asarray(mask_emb).at[0].set(0.0)
             img_feat = img_feat + jnp.take(
                 mask_emb, img_masks.astype(jnp.int32), axis=0
             ).astype(img_feat.dtype)
