@@ -1,0 +1,501 @@
+"""Task datasets: per-example assembly + masking for every objective.
+
+Reference: data/mlm.py (MLM/TLM/VTLM/MRTM), data/mrm.py (MRFR/MRC),
+data/itm.py (ITM/ITM-rank/eval), data/vqa.py, data/ve.py, data/nlvr2.py.
+
+Differences from the reference (TPU-first):
+  * Examples are numpy dicts; batches are assembled by collate.py into one
+    of a few static bucket shapes (no per-batch max-length padding, no
+    gather_index).
+  * All randomness flows through an explicit np.random.Generator handed to
+    ``get_example(i, rng)`` / ``new_epoch(rng)`` — reproducible, per-host
+    independent (the reference used the unseeded global `random`).
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from uc2_tpu.data import masking
+from uc2_tpu.data.collate import BucketSpec, collate_batch
+from uc2_tpu.data.db import DetectFeatDb, SoftLabelDb, TxtTokDb, get_ids_and_lens
+from uc2_tpu.data.labels import LabelVocab
+
+
+class VLDataset:
+    """Base: paired text + image-region access (reference
+    DetectFeatTxtTokDataset, data/data.py:317-341)."""
+
+    pad_token_id = 1
+    slot_target_keys: Sequence[str] = ()
+
+    def __init__(self, txt_db: TxtTokDb, img_db: DetectFeatDb):
+        self.txt_db = txt_db
+        self.img_db = img_db
+        txt_lens, self.ids = get_ids_and_lens(txt_db)
+        txt2img = txt_db.txt2img
+        self.txt2img = txt2img
+        self.lens = [tl + img_db.name2nbb[txt2img[i]]
+                     for tl, i in zip(txt_lens, self.ids)]
+        self.txt_lens = txt_lens
+
+    def __len__(self):
+        return len(self.ids)
+
+    def _img_feat(self, fname: str):
+        feat, bb7 = self.img_db[fname]
+        return feat, bb7, feat.shape[0]
+
+    def example_record(self, i: int) -> Dict:
+        return self.txt_db[self.ids[i]]
+
+    def collate(self, examples: List[Dict], spec: BucketSpec):
+        return collate_batch(examples, spec, self.pad_token_id,
+                             self.slot_target_keys)
+
+
+# --------------------------------------------------------------------- MLM
+class MlmDataset(VLDataset):
+    """Plain MLM over caption + image (reference MlmDataset,
+    data/mlm.py:680-758)."""
+
+    def __init__(self, txt_db, img_db, mask_prob: float = 0.15):
+        super().__init__(txt_db, img_db)
+        self.mask_prob = mask_prob
+
+    def get_example(self, i: int, rng: np.random.Generator) -> Dict:
+        rec = self.example_record(i)
+        ids = self.txt_db.combine_inputs(rec["input_ids"])
+        new_ids, labels = masking.mask_tokens(
+            ids, self.txt_db.v_range, self.txt_db.mask, rng, self.mask_prob)
+        feat, bb7, nbb = self._img_feat(rec["img_fname"])
+        return {"input_ids": new_ids, "txt_labels": labels,
+                "img_feat": feat, "img_pos_feat": bb7}
+
+
+class TlmDataset(VLDataset):
+    """TLM / VTLM with cross-lingual co-masking over `[CLS] l1 [SEP][SEP] l2
+    [SEP]` pairs (reference MlmDataset_Dmasking, data/mlm.py:361-440).
+
+    ``text_only=True`` gives the `tlm-ni` variant (no image attended).
+    The explicit position ids replicate the reference's construction
+    (data/mlm.py:420-432): start at 2, +1 per token, reset at token id 0.
+    """
+
+    def __init__(self, txt_db, img_db, comasking_mode: str = "random",
+                 text_only: bool = False, mask_prob: float = 0.15):
+        super().__init__(txt_db, img_db)
+        assert comasking_mode in ("random", "full", "mix")
+        self.mode = comasking_mode
+        self.text_only = text_only
+        self.mask_prob = mask_prob
+
+    def get_example(self, i, rng):
+        rec = self.example_record(i)
+        if self.mode == "mix" and rng.random() < 0.5:
+            raw_ids, raw_labels = masking.mask_tokens(
+                np.asarray(rec["input_ids"]), self.txt_db.v_range,
+                self.txt_db.mask, rng, self.mask_prob)
+        else:
+            mode = "full" if self.mode == "mix" else self.mode
+            raw_ids, raw_labels = masking.comask_tokens(
+                rec, self.txt_db.v_range, self.txt_db.mask, rng, mode,
+                self.mask_prob)
+        ids = np.concatenate([[self.txt_db.cls_], raw_ids,
+                              [self.txt_db.sep]]).astype(np.int64)
+        labels = np.concatenate([[-1], raw_labels, [-1]]).astype(np.int64)
+        pos, p = [], 2
+        for t in ids.tolist():
+            if t == 0:
+                p = 2
+            else:
+                p += 1
+            pos.append(p)
+        ex = {"input_ids": ids, "txt_labels": labels,
+              "position_ids": np.asarray(pos, np.int64)}
+        if not self.text_only:
+            feat, bb7, nbb = self._img_feat(rec["img_fname"])
+            ex.update({"img_feat": feat, "img_pos_feat": bb7})
+        return ex
+
+
+# -------------------------------------------------------------------- MRTM
+class VmlmDataset(VLDataset):
+    """Hard MRTM: mask regions, predict label-word tokens (reference
+    VmlmDataset data/mlm.py:490-531; MmxlmDataset :439-488 additionally
+    masks text)."""
+
+    def __init__(self, txt_db, img_db, mask_prob: float = 0.15,
+                 label_vocab: Optional[LabelVocab] = None, lang: str = "en",
+                 mask_text: bool = False):
+        super().__init__(txt_db, img_db)
+        self.mask_prob = mask_prob
+        self.vocab = label_vocab or LabelVocab()
+        self.lang = lang
+        self.mask_text = mask_text
+
+    def get_example(self, i, rng):
+        rec = self.example_record(i)
+        ids = self.txt_db.combine_inputs(rec["input_ids"])
+        if self.mask_text:
+            ids, txt_labels = masking.mask_tokens(
+                ids, self.txt_db.v_range, self.txt_db.mask, rng,
+                self.mask_prob)
+        else:
+            txt_labels = np.full(ids.shape[0], -1, np.int64)
+        fname = rec["img_fname"]
+        feat, bb7, nbb = self._img_feat(fname)
+        soft = self.img_db.get_dump(fname)["soft_labels"]
+        img_masks, img_labels = masking.region_mask_with_token_labels(
+            rng, nbb, soft, self.vocab, self.lang, self.mask_prob)
+        return {"input_ids": ids, "txt_labels": txt_labels,
+                "img_feat": feat, "img_pos_feat": bb7,
+                "img_masks": img_masks, "img_txt_labels": img_labels}
+
+
+class MmxlmDataset(VmlmDataset):
+    def __init__(self, txt_db, img_db, mask_prob=0.15, label_vocab=None,
+                 lang="en"):
+        super().__init__(txt_db, img_db, mask_prob, label_vocab, lang,
+                         mask_text=True)
+
+
+class VmlmSoftDataset(VLDataset):
+    """Soft MRTM: target = detector soft labels projected to label-token
+    space (reference Vmlm_Softlabel_Dataset data/mlm.py:533-578;
+    Mmxlm_Softlabel_Dataset :580-678 additionally masks text with one-hot
+    soft targets). Precomputed per-image token soft labels (SoftLabelDb) are
+    used when given, matching the img_token_soft_label DBs in the reference
+    config."""
+
+    slot_target_keys = ("txt_soft_targets", "label_targets")
+
+    def __init__(self, txt_db, img_db, mask_prob: float = 0.15,
+                 label_vocab: Optional[LabelVocab] = None,
+                 soft_label_db: Optional[SoftLabelDb] = None,
+                 mask_text: bool = False):
+        super().__init__(txt_db, img_db)
+        self.mask_prob = mask_prob
+        self.vocab = label_vocab or LabelVocab()
+        self.soft_label_db = soft_label_db
+        self.mask_text = mask_text
+        self.n_valid = len(self.vocab.valid_ids)
+
+    def get_example(self, i, rng):
+        rec = self.example_record(i)
+        ids = self.txt_db.combine_inputs(rec["input_ids"])
+        fname = rec["img_fname"]
+        feat, bb7, nbb = self._img_feat(fname)
+        img_masks = masking.region_mask(rng, nbb, self.mask_prob)
+        if self.soft_label_db is not None:
+            token_soft = self.soft_label_db[fname][:nbb]
+        else:
+            soft = self.img_db.get_dump(fname)["soft_labels"]
+            token_soft = self.vocab.project_soft_labels(soft)
+        ex = {"input_ids": ids, "img_feat": feat, "img_pos_feat": bb7,
+              "img_masks": img_masks, "label_targets": token_soft}
+        if self.mask_text:
+            ids2, txt_labels = masking.mask_tokens(
+                ids, self.txt_db.v_range, self.txt_db.mask, rng,
+                self.mask_prob)
+            ex["input_ids"] = ids2
+            ex["txt_labels"] = txt_labels
+            # one-hot soft targets in valid-token space; tokens outside the
+            # label vocabulary yield all-zero rows — matching the reference,
+            # which builds full-vocab one-hots then slices to valid ids
+            # (data/mlm.py:346-358, model/model.py:642)
+            onehot = np.zeros((ids2.shape[0], self.n_valid), np.float32)
+            pos = np.flatnonzero(txt_labels != -1)
+            for p in pos:
+                j = np.searchsorted(self.vocab.valid_ids, txt_labels[p])
+                if (j < self.n_valid
+                        and self.vocab.valid_ids[j] == txt_labels[p]):
+                    onehot[p, j] = 1.0
+            ex["txt_soft_targets"] = onehot
+        else:
+            # text slots must not exist: no txt_labels key
+            pass
+        return ex
+
+    def collate(self, examples, spec):
+        batch = super().collate(examples, spec)
+        if "txt_soft_targets" in batch:
+            # merge text one-hots and region projections into one slot array
+            batch["label_targets"] = (batch.pop("txt_soft_targets")
+                                      + batch["label_targets"])
+        return batch
+
+
+class MmxlmSoftDataset(VmlmSoftDataset):
+    def __init__(self, txt_db, img_db, mask_prob=0.15, label_vocab=None,
+                 soft_label_db=None):
+        super().__init__(txt_db, img_db, mask_prob, label_vocab,
+                         soft_label_db, mask_text=True)
+
+
+# -------------------------------------------------------------------- MRFR
+class MrfrDataset(VLDataset):
+    """Masked-region feature regression (reference MrfrDataset,
+    data/mrm.py:42-71)."""
+
+    slot_target_keys = ("feat_targets",)
+
+    def __init__(self, txt_db, img_db, mask_prob: float = 0.15):
+        super().__init__(txt_db, img_db)
+        self.mask_prob = mask_prob
+
+    def get_example(self, i, rng):
+        rec = self.example_record(i)
+        ids = self.txt_db.combine_inputs(rec["input_ids"])
+        feat, bb7, nbb = self._img_feat(rec["img_fname"])
+        img_masks = masking.region_mask(rng, nbb, self.mask_prob)
+        return {"input_ids": ids, "img_feat": feat, "img_pos_feat": bb7,
+                "img_masks": img_masks, "img_mask_tgt": img_masks,
+                "feat_targets": feat.copy()}
+
+
+class MrcDataset(VLDataset):
+    """Masked-region classification over 1601 detector classes (reference
+    MrcDataset, data/mrm.py:221-251). ``kl`` handled at the loss."""
+
+    slot_target_keys = ("label_targets",)
+
+    def __init__(self, txt_db, img_db, mask_prob: float = 0.15):
+        super().__init__(txt_db, img_db)
+        self.mask_prob = mask_prob
+
+    def get_example(self, i, rng):
+        rec = self.example_record(i)
+        ids = self.txt_db.combine_inputs(rec["input_ids"])
+        fname = rec["img_fname"]
+        feat, bb7, nbb = self._img_feat(fname)
+        soft = self.img_db.get_dump(fname)["soft_labels"]
+        img_masks = masking.region_mask(rng, nbb, self.mask_prob)
+        return {"input_ids": ids, "img_feat": feat, "img_pos_feat": bb7,
+                "img_masks": img_masks, "img_mask_tgt": img_masks,
+                "label_targets": soft}
+
+
+# --------------------------------------------------------------------- ITM
+def sample_negative(rng: np.random.Generator, pool: List, exclude) -> Any:
+    while True:
+        cand = pool[int(rng.integers(0, len(pool)))]
+        if cand not in exclude:
+            return cand
+
+
+class ItmDataset(VLDataset):
+    """Binary image-text matching with per-epoch negative resampling
+    (reference ItmDataset, data/itm.py:151-203)."""
+
+    def __init__(self, txt_db, img_db, neg_sample_p: float = 0.5):
+        super().__init__(txt_db, img_db)
+        self.neg_sample_p = neg_sample_p
+        self.all_imgs = sorted({self.txt2img[i] for i in self.ids})
+        self.train_imgs: Optional[List[str]] = None
+        self.labels: Optional[np.ndarray] = None
+
+    def new_epoch(self, rng: np.random.Generator):
+        self.labels = (rng.random(len(self.ids))
+                       >= self.neg_sample_p).astype(np.int32)
+        self.train_imgs = []
+        lens = []
+        for i, id_ in enumerate(self.ids):
+            fname = self.txt2img[id_]
+            if self.labels[i] == 0:
+                fname = sample_negative(rng, self.all_imgs, [fname])
+            self.train_imgs.append(fname)
+            lens.append(self.txt_lens[i] + self.img_db.name2nbb[fname])
+        self.lens = lens
+
+    def get_example(self, i, rng):
+        assert self.train_imgs is not None, "call new_epoch(rng) first"
+        rec = self.example_record(i)
+        ids = self.txt_db.combine_inputs(rec["input_ids"])
+        feat, bb7, nbb = self._img_feat(self.train_imgs[i])
+        return {"input_ids": ids, "img_feat": feat, "img_pos_feat": bb7,
+                "target": int(self.labels[i])}
+
+
+class ItmHardNegDataset(ItmDataset):
+    """Cross-lingual hard negatives: 50% wrong image / 25% wrong lang1 /
+    25% wrong lang2 caption swap (reference ItmDataset_HardNeg,
+    data/itm.py:84-148). Requires paired-translation records."""
+
+    def __init__(self, txt_db, img_db, neg_sample_p: float = 0.5,
+                 neg_img: float = 0.5, neg_lang1: float = 0.25,
+                 neg_lang2: float = 0.25):
+        assert abs(neg_img + neg_lang1 + neg_lang2 - 1) < 1e-6
+        self.neg_split = (neg_img, neg_lang1, neg_lang2)
+        super().__init__(txt_db, img_db, neg_sample_p)
+
+    def new_epoch(self, rng):
+        self.labels = (rng.random(len(self.ids))
+                       >= self.neg_sample_p).astype(np.int32)
+        self.train_imgs, self.train_raw_ids, lens = [], [], []
+        neg_img, neg_l1, neg_l2 = self.neg_split
+        for i, id_ in enumerate(self.ids):
+            rec = self.example_record(i)
+            fname = rec["img_fname"]
+            raw = list(rec["input_ids"])
+            if self.labels[i] == 0:
+                u = rng.random()
+                if u < neg_img:
+                    fname = sample_negative(rng, self.all_imgs, [fname])
+                else:
+                    lang_key = ("input_ids_lang1" if u < neg_img + neg_l1
+                                else "input_ids_lang2")
+                    j = int(rng.integers(0, len(self.ids)))
+                    other = self.example_record(j)[lang_key]
+                    l1, l2 = (list(rec["input_ids_lang1"]),
+                              list(rec["input_ids_lang2"]))
+                    if lang_key == "input_ids_lang1":
+                        l1 = list(other)
+                    else:
+                        l2 = list(other)
+                    sep = self.txt_db.sep
+                    raw = l1 + [sep, sep] + l2
+            self.train_imgs.append(fname)
+            self.train_raw_ids.append(raw)
+            lens.append(len(raw) + 2 + self.img_db.name2nbb[fname])
+        self.lens = lens
+
+    def get_example(self, i, rng):
+        assert self.train_imgs is not None
+        ids = self.txt_db.combine_inputs(self.train_raw_ids[i])
+        feat, bb7, nbb = self._img_feat(self.train_imgs[i])
+        return {"input_ids": ids, "img_feat": feat, "img_pos_feat": bb7,
+                "target": int(self.labels[i])}
+
+
+class ItmRankDataset(VLDataset):
+    """Retrieval finetuning groups: 1 positive + neg images + neg texts per
+    anchor (reference ItmRankDataset, data/itm.py:508-559). Emits flattened
+    groups; 'sample_size' rides in the batch for the triplet loss."""
+
+    def __init__(self, txt_db, img_db, neg_sample_size: int = 1):
+        super().__init__(txt_db, img_db)
+        assert neg_sample_size > 0
+        self.neg_sample_size = neg_sample_size
+        self.img2txts = txt_db.img2txts
+        self.all_imgs = sorted(self.img2txts.keys())
+        self.all_txts = list(self.ids)
+
+    @property
+    def sample_size(self):
+        return 1 + 2 * self.neg_sample_size
+
+    def get_example(self, i, rng):
+        id_ = self.ids[i]
+        rec = self.example_record(i)
+        gt_img = self.txt2img[id_]
+        ids = self.txt_db.combine_inputs(rec["input_ids"])
+        group = []
+        feat, bb7, _ = self._img_feat(gt_img)
+        group.append({"input_ids": ids, "img_feat": feat,
+                      "img_pos_feat": bb7, "target": 1})
+        for _ in range(self.neg_sample_size):  # negative images
+            neg_img = sample_negative(rng, self.all_imgs,
+                                      [gt_img])
+            f2, b2, _ = self._img_feat(neg_img)
+            group.append({"input_ids": ids, "img_feat": f2,
+                          "img_pos_feat": b2, "target": 0})
+        gt_txts = self.img2txts[gt_img]
+        for _ in range(self.neg_sample_size):  # negative texts
+            neg_txt = sample_negative(rng, self.all_txts, gt_txts)
+            nrec = self.txt_db[neg_txt]
+            nids = self.txt_db.combine_inputs(nrec["input_ids"])
+            group.append({"input_ids": nids, "img_feat": feat,
+                          "img_pos_feat": bb7, "target": 0})
+        return group
+
+
+class ItmEvalDataset(VLDataset):
+    """Full retrieval eval: every text scored against every image
+    (reference ItmEvalDataset, data/itm.py:891+). Iteration is handled by
+    eval code — this class provides image access sorted by nbb (compute
+    efficiency, as the reference sorts by nbb)."""
+
+    def __init__(self, txt_db, img_db):
+        super().__init__(txt_db, img_db)
+        self.all_img_ids = sorted({self.txt2img[i] for i in self.ids},
+                                  key=lambda x: img_db.name2nbb[x])
+
+    def text_example(self, i):
+        rec = self.example_record(i)
+        return self.txt_db.combine_inputs(rec["input_ids"])
+
+
+# --------------------------------------------------------------- VQA / VE
+class VqaDataset(VLDataset):
+    """VQA with soft-score targets (reference data/vqa.py:20-99)."""
+
+    def __init__(self, txt_db, img_db, num_answers: int):
+        super().__init__(txt_db, img_db)
+        self.num_answers = num_answers
+
+    def get_example(self, i, rng):
+        rec = self.example_record(i)
+        ids = self.txt_db.combine_inputs(rec["input_ids"])
+        feat, bb7, nbb = self._img_feat(rec["img_fname"])
+        target = np.zeros(self.num_answers, np.float32)
+        labels = rec.get("target", {})
+        for lbl, score in zip(labels.get("labels", []),
+                              labels.get("scores", [])):
+            target[int(lbl)] = float(score)
+        return {"input_ids": ids, "img_feat": feat, "img_pos_feat": bb7,
+                "soft_target": target}
+
+
+class VeDataset(VqaDataset):
+    """Visual entailment = 3-answer VQA (reference data/ve.py:8-19)."""
+
+    def __init__(self, txt_db, img_db):
+        super().__init__(txt_db, img_db, num_answers=3)
+
+
+class Nlvr2PairedDataset(VLDataset):
+    """NLVR2: one statement, two images; img_type_ids distinguish them
+    (reference data/nlvr2.py:18-96). Emits both images concatenated along
+    the region axis with type ids 1/2."""
+
+    def __init__(self, txt_db, img_db, use_img_type: bool = True):
+        super().__init__(txt_db, img_db)
+        self.use_img_type = use_img_type
+        # two images per example: lens doubles the nbb share
+        self.lens = [tl + 2 * self.img_db.name2nbb[self.txt2img[i]]
+                     for tl, i in zip(self.txt_lens, self.ids)]
+
+    def get_example(self, i, rng):
+        rec = self.example_record(i)
+        ids = self.txt_db.combine_inputs(rec["input_ids"])
+        fnames = rec.get("img_fnames", [rec.get("img_fname")] * 2)
+        feats, bbs, types = [], [], []
+        for k, fn in enumerate(fnames[:2]):
+            f, b, n = self._img_feat(fn)
+            feats.append(f)
+            bbs.append(b)
+            types.append(np.full(n, k + 1, np.int32))
+        ex = {"input_ids": ids,
+              "img_feat": np.concatenate(feats, 0),
+              "img_pos_feat": np.concatenate(bbs, 0),
+              "target": int(rec.get("target", 0))}
+        if self.use_img_type:
+            ex["img_type_ids"] = np.concatenate(types, 0)
+        return ex
+
+    def collate(self, examples, spec):
+        batch = collate_batch(examples, spec, self.pad_token_id)
+        if self.use_img_type:
+            B, Nb = spec.batch_size, spec.num_bb
+            t = np.zeros((B, Nb), np.int32)
+            for b, e in enumerate(examples):
+                ti = np.asarray(e["img_type_ids"])[:Nb]
+                t[b, :ti.shape[0]] = ti
+            # padded regions keep type 0 (they're attention-masked anyway)
+            t[t == 0] = 1
+            batch["img_type_ids"] = t
+        return batch
