@@ -19,10 +19,14 @@ import numpy as np
 
 from uc2_tpu.data.store import StoreWriter
 
-# XLM-R special ids
+# XLM-R special ids; MASK is the last vocab id and v_range the ordinary-token
+# span, scaled down automatically for reduced test vocabularies.
 CLS, PAD, SEP, UNK = 0, 1, 2, 3
-MASK = 250001
-V_RANGE = (4, 250001)
+
+
+def special_ids(vocab: int = 250002):
+    mask = vocab - 1
+    return {"CLS": CLS, "SEP": SEP, "MASK": mask, "v_range": (4, mask)}
 
 
 def synth_corpus(out_dir: str, n_imgs: int = 32, txt_per_img: int = 2,
@@ -37,6 +41,8 @@ def synth_corpus(out_dir: str, n_imgs: int = 32, txt_per_img: int = 2,
     Returns {"txt_db": ..., "img_db": ...} paths.
     """
     rng = np.random.default_rng(seed)
+    sp = special_ids(vocab)
+    v_range = sp["v_range"]
     txt_dir = os.path.join(out_dir, "txt_db")
     img_dir = os.path.join(out_dir, "img_db")
     os.makedirs(txt_dir, exist_ok=True)
@@ -79,7 +85,7 @@ def synth_corpus(out_dir: str, n_imgs: int = 32, txt_per_img: int = 2,
                 if not paired:
                     # raw caption token ids (CLS/SEP added by combine_inputs,
                     # reference data/data.py:216-220)
-                    raw = rng.integers(*V_RANGE, n_words * 2).tolist()
+                    raw = rng.integers(*v_range, n_words * 2).tolist()
                 else:
                     # language-1/2 word lists with 1-2 subtokens per word
                     def make_lang(n):
@@ -88,7 +94,7 @@ def synth_corpus(out_dir: str, n_imgs: int = 32, txt_per_img: int = 2,
                             k = int(rng.integers(1, 3))
                             word2ids.append(list(range(len(flat),
                                                        len(flat) + k)))
-                            flat.extend(rng.integers(*V_RANGE, k).tolist())
+                            flat.extend(rng.integers(*v_range, k).tolist())
                         return word2ids, flat
                     n2 = int(rng.integers(3, max_words + 1))
                     w2i_1, ids1 = make_lang(n_words)
@@ -118,8 +124,8 @@ def synth_corpus(out_dir: str, n_imgs: int = 32, txt_per_img: int = 2,
     with open(os.path.join(txt_dir, "id2len.json"), "w") as f:
         json.dump(id2len, f)
     with open(os.path.join(txt_dir, "meta.json"), "w") as f:
-        json.dump({"CLS": CLS, "SEP": SEP, "MASK": MASK,
-                   "v_range": list(V_RANGE), "vocab": vocab}, f)
+        json.dump({"CLS": CLS, "SEP": SEP, "MASK": sp["MASK"],
+                   "v_range": list(v_range), "vocab": vocab}, f)
     with open(os.path.join(txt_dir, "txt2img.json"), "w") as f:
         json.dump(txt2img, f)
     with open(os.path.join(txt_dir, "img2txts.json"), "w") as f:

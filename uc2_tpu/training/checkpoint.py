@@ -1,0 +1,108 @@
+"""Checkpoint / preemption-safe restore.
+
+Reference: utils/save.py — ModelSaver (milestone ``model_step_{N}.pt``, :58-80)
+and TrainingRestorer (auto-save every ``save_steps`` with two-file
+rename-rotation + hyperparameter equality check on resume, :164-213).
+
+TPU-native: trees are saved via flax msgpack serialization (params fp32,
+optimizer state included — the reference checkpoints amp loss-scaler state,
+which has no bf16 equivalent). Arrays are pulled host-side before writing
+(single-controller save; for multi-host sharded params swap in
+orbax.checkpoint — the API here is deliberately orbax-shaped).
+The two-file rotation (write new → rename over backup) survives preemption
+mid-write exactly like the reference's restore.pt / restore_backup.pt.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_tree(path: str, tree: Any):
+    data = serialization.to_bytes(_to_host(tree))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load_tree(path: str, target: Any) -> Any:
+    with open(path, "rb") as f:
+        return serialization.from_bytes(target, f.read())
+
+
+def save_training_meta(output_dir: str, hps: Dict):
+    """reference utils/save.py:17-55 (log/ckpt dirs + hps dump)."""
+    os.makedirs(os.path.join(output_dir, "log"), exist_ok=True)
+    os.makedirs(os.path.join(output_dir, "ckpt"), exist_ok=True)
+    with open(os.path.join(output_dir, "log", "hps.json"), "w") as f:
+        json.dump(hps, f, indent=2, default=str)
+
+
+class ModelSaver:
+    """Milestone saver: ckpt/model_step_{N}.msgpack (+ optional train state)
+    (reference utils/save.py:58-80)."""
+
+    def __init__(self, output_dir: str, prefix: str = "model_step"):
+        self.dir = os.path.join(output_dir, "ckpt")
+        os.makedirs(self.dir, exist_ok=True)
+        self.prefix = prefix
+
+    def save(self, params, step: int, opt_state=None):
+        save_tree(os.path.join(self.dir, f"{self.prefix}_{step}.msgpack"),
+                  params)
+        if opt_state is not None:
+            save_tree(os.path.join(self.dir, f"train_state_{step}.msgpack"),
+                      opt_state)
+
+
+class TrainingRestorer:
+    """Preemption-safe restorer with two-file rotation + hps check
+    (reference utils/save.py:164-213)."""
+
+    def __init__(self, output_dir: str, hps: Dict, save_steps: int = 200):
+        self.restore_path = os.path.join(output_dir, "restore.ckpt")
+        self.backup_path = os.path.join(output_dir, "restore_backup.ckpt")
+        self.hps_path = os.path.join(output_dir, "restore_hps.json")
+        self.save_steps = save_steps
+        self.hps = {k: v for k, v in hps.items()}
+        if os.path.exists(self.restore_path) or os.path.exists(
+                self.backup_path):
+            with open(self.hps_path) as f:
+                saved = json.load(f)
+            same = saved == json.loads(json.dumps(self.hps, default=str))
+            assert same, "hyperparameters changed across restore"
+            self.restore_pending = True
+        else:
+            os.makedirs(output_dir, exist_ok=True)
+            with open(self.hps_path, "w") as f:
+                json.dump(self.hps, f, default=str)
+            self.restore_pending = False
+
+    def step(self, global_step: int, state) -> None:
+        if global_step % self.save_steps == 0:
+            self.save(state)
+
+    def save(self, state):
+        if os.path.exists(self.restore_path):
+            os.replace(self.restore_path, self.backup_path)
+        save_tree(self.restore_path, state)
+
+    def restore(self, target):
+        for path in (self.restore_path, self.backup_path):
+            if os.path.exists(path):
+                try:
+                    return load_tree(path, target)
+                except Exception:
+                    continue
+        raise FileNotFoundError("no restore checkpoint found")
