@@ -1,0 +1,345 @@
+"""UC2-TPU multi-task pretraining driver.
+
+Reference entry point: pretrain.py (``horovodrun -np N python pretrain.py
+--config config/uc2_pretrain.json``, README.md:32-42). Same CLI surface
+(argparse + JSON config where CLI wins, utils/misc.py:23-33), same
+data-driven task mix (``train_datasets[].{name,db,img,tasks,mix_ratio}``,
+config/uc2_pretrain.json:45-208), TPU-native internals:
+
+  * one process drives a jax.sharding Mesh('data','model'); Horovod
+    broadcast/allreduce (pretrain.py:457, 560-566) disappear into GSPMD.
+  * each (task, bucket-shape) pair is one jitted train step; the task
+    schedule is a pure function of the step index (no per-step collective,
+    reference pretrain.py:517 all_gather_list sanity check included as a
+    free invariant).
+  * bf16 activations / fp32 params+Adam state replace apex amp O2 and its
+    per-task loss scalers (pretrain.py:463-465).
+  * gradient accumulation happens inside the step via lax.scan over a
+    leading micro-batch axis.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from collections import defaultdict
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from uc2_tpu.config import UC2Config, parse_with_config
+from uc2_tpu.utils.logger import LOGGER, TB_LOGGER, RunningMeter, add_log_to_file
+
+
+def build_datasets(opts, which: str = "train"):
+    """Instantiate task datasets from the config's dataset specs
+    (mirrors pretrain.py:277-381 create_dataloaders)."""
+    from uc2_tpu.data.db import ImageDbGroup, SoftLabelDb, TxtTokDb
+    from uc2_tpu.data.labels import LabelVocab, hash_tokenize
+    from uc2_tpu.data import datasets as D
+
+    specs = getattr(opts, f"{which}_datasets")
+    img_group = ImageDbGroup(opts.conf_th, opts.max_bb, opts.min_bb,
+                             opts.num_bb)
+    label_vocab = None
+    out: Dict[str, Any] = {}
+    for spec in specs:
+        name = spec["name"]
+        lang = spec.get("language", name.split("_")[-1]
+                        if "_" in name else "en")
+        txt_dbs = spec["db"] if isinstance(spec["db"], list) else [spec["db"]]
+        img_dbs = spec["img"] if isinstance(spec["img"], list) \
+            else [spec["img"]]
+        sl_dbs = spec.get("img_token_soft_label")
+        for i, (tpath, ipath) in enumerate(zip(txt_dbs, img_dbs)):
+            txt_db = TxtTokDb(tpath, max_txt_len=opts.max_txt_len)
+            img_db = img_group[ipath]
+            for task, ratio in zip(spec["tasks"], spec["mix_ratio"]):
+                key = f"{task}_{name}" + (f"_{i}" if len(txt_dbs) > 1 else "")
+                if task in ("vmlm", "mmxlm", "vmlm-soft", "mmxlm-soft") \
+                        and label_vocab is None:
+                    label_vocab = LabelVocab()
+                    if label_vocab.source == "hash":
+                        LOGGER.warning(
+                            "LabelVocab using hash-fallback token ids (no "
+                            "XLM-R tokenizer/assets in this environment)")
+                if task == "mlm":
+                    ds = D.MlmDataset(txt_db, img_db, opts.mlm_prob)
+                elif task == "tlm":
+                    ds = D.TlmDataset(txt_db, img_db, opts.comasking_mode,
+                                      mask_prob=opts.mlm_prob)
+                elif task == "tlm-ni":
+                    ds = D.TlmDataset(txt_db, img_db, opts.comasking_mode,
+                                      text_only=True,
+                                      mask_prob=opts.mlm_prob)
+                elif task == "vmlm":
+                    ds = D.VmlmDataset(txt_db, img_db, opts.mrm_prob,
+                                       label_vocab, lang)
+                elif task == "mmxlm":
+                    ds = D.MmxlmDataset(txt_db, img_db, opts.mrm_prob,
+                                        label_vocab, lang)
+                elif task in ("vmlm-soft", "mmxlm-soft"):
+                    sl = SoftLabelDb(sl_dbs[i]) if sl_dbs else None
+                    cls_ = (D.VmlmSoftDataset if task == "vmlm-soft"
+                            else D.MmxlmSoftDataset)
+                    ds = cls_(txt_db, img_db, opts.mrm_prob, label_vocab,
+                              soft_label_db=sl)
+                elif task == "mrfr":
+                    ds = D.MrfrDataset(txt_db, img_db, opts.mrm_prob)
+                elif task.startswith("mrc"):
+                    ds = D.MrcDataset(txt_db, img_db, opts.mrm_prob)
+                elif task.startswith("itm"):
+                    ds = D.ItmDataset(txt_db, img_db, opts.itm_neg_prob)
+                else:
+                    raise ValueError(f"undefined task {task}")
+                out[key] = {"dataset": ds, "ratio": ratio, "task": task}
+    return out, label_vocab
+
+
+def main(opts):
+    import jax
+    from uc2_tpu.data.collate import default_buckets
+    from uc2_tpu.data.loader import MetaLoader, TaskLoader
+    from uc2_tpu.models.pretraining import UC2ForPretraining
+    from uc2_tpu.models import convert
+    from uc2_tpu.parallel import mesh as M
+    from uc2_tpu.training import optim as O
+    from uc2_tpu.training.checkpoint import (ModelSaver, TrainingRestorer,
+                                             save_training_meta)
+    from uc2_tpu.training.step import (create_train_state, make_eval_step,
+                                       make_train_step)
+
+    np.random.seed(opts.seed)
+    os.makedirs(opts.output_dir, exist_ok=True)
+    save_training_meta(opts.output_dir, vars(opts))
+    TB_LOGGER.create(os.path.join(opts.output_dir, "log"))
+    add_log_to_file(os.path.join(opts.output_dir, "log", "log.txt"))
+
+    # ---- model
+    cfg = UC2Config.from_json_file(opts.model_config).replace(
+        dtype=opts.dtype)
+    model = UC2ForPretraining(cfg, ot_pos_only=opts.ot_pos_only)
+    params = model.init_params(jax.random.PRNGKey(opts.seed))
+    if opts.checkpoint:
+        LOGGER.info("loading checkpoint %s", opts.checkpoint)
+        params = convert.merge_params(
+            jax.tree_util.tree_map(np.asarray, params),
+            load_any_checkpoint(opts.checkpoint, opts))
+    if opts.early_adaptation_checkpoint:
+        params = convert.splice_early_adaptation(
+            params, load_raw_checkpoint(opts.early_adaptation_checkpoint))
+
+    # ---- data
+    train, label_vocab = build_datasets(opts, "train")
+    val, _ = (build_datasets(opts, "val") if opts.val_datasets
+              else ({}, None))
+    buckets = default_buckets(opts.max_txt_len, opts.max_bb,
+                              opts.train_batch_size)
+    loaders = {k: TaskLoader(k, v["dataset"], buckets, seed=opts.seed)
+               for k, v in train.items()}
+    ratios = {k: v["ratio"] for k, v in train.items()}
+    meta = MetaLoader(loaders, ratios,
+                      accum_steps=opts.gradient_accumulation_steps,
+                      seed=opts.seed)
+
+    # ---- mesh + optimizer + state
+    mesh = M.make_mesh(n_model=opts.n_model)
+    lr_fn = O.get_lr_schedule(opts.decay, opts.learning_rate,
+                              opts.warmup_steps, opts.num_train_steps)
+    tx = O.build_optimizer(params, lr_fn, opts.weight_decay,
+                           tuple(opts.betas), grad_norm=opts.grad_norm)
+    sharded_params = M.shard_params(mesh, params)
+    del params
+    valid_ids = label_vocab.valid_ids if label_vocab is not None else None
+
+    with mesh:
+        state = jax.jit(lambda p: create_train_state(p, tx))(sharded_params)
+        # hps-equality guard on resume (reference utils/save.py:168-171);
+        # num_train_steps is deliberately excluded so runs can be extended
+        restorer = TrainingRestorer(
+            opts.output_dir,
+            {k: vars(opts)[k] for k in ("learning_rate", "seed",
+                                        "train_batch_size")},
+            save_steps=opts.save_steps)
+        if restorer.restore_pending:
+            state = restorer.restore(state)
+            LOGGER.info("restored training at step %d", int(state.step))
+        saver = ModelSaver(opts.output_dir)
+
+        steps = {}
+
+        def get_step_fn(task):
+            base = task.split("_")[0]
+            if base not in steps:
+                steps[base] = jax.jit(make_train_step(
+                    model, base, tx, valid_ids=valid_ids,
+                    itm_ot_lambda=opts.itm_ot_lambda,
+                    ot_pos_only=opts.ot_pos_only))
+            return steps[base]
+
+        task2loss = defaultdict(
+            lambda: RunningMeter("loss"))
+        n_examples = defaultdict(int)
+        rng_key = jax.random.PRNGKey(opts.seed + 1)
+        start = time.time()
+        global_step = int(state.step)
+        LOGGER.info("start training at step %d over %d tasks",
+                    global_step, len(loaders))
+
+        while global_step < opts.num_train_steps:
+            name, batch = next(meta)
+            batch.pop("_bucket", None)
+            batch.pop("sample_size", None)
+            n_examples[name] += batch["input_ids"].shape[0]
+            batch = M.shard_batch(mesh, batch)
+            rng_key, sub = jax.random.split(rng_key)
+            state, metrics = get_step_fn(name)(state, batch, sub)
+            global_step = int(state.step)
+            task2loss[name](float(metrics["loss"]))
+
+            if global_step % opts.log_steps == 0:
+                TB_LOGGER.add_scalar("lr", float(lr_fn(global_step)),
+                                     global_step)
+                for t, m in task2loss.items():
+                    if m.val is not None:
+                        TB_LOGGER.add_scalar(f"loss/{t}", m.val, global_step)
+                elapsed = time.time() - start
+                tot = sum(n_examples.values())
+                LOGGER.info("step %d | %.0f ex/s | %s", global_step,
+                            tot / max(elapsed, 1e-9),
+                            {t: round(m.val, 4) for t, m in task2loss.items()
+                             if m.val is not None})
+                TB_LOGGER.add_scalar("perf/ex_per_s",
+                                     tot / max(elapsed, 1e-9), global_step)
+
+            if opts.valid_steps and global_step % opts.valid_steps == 0:
+                validate(model, state, val, buckets, valid_ids, opts, mesh)
+                saver.save(jax.tree_util.tree_map(np.asarray, state.params),
+                           global_step)
+            restorer.step(global_step, state)
+
+        if opts.valid_steps and global_step % opts.valid_steps != 0:
+            validate(model, state, val, buckets, valid_ids, opts, mesh)
+            saver.save(jax.tree_util.tree_map(np.asarray, state.params),
+                       global_step)
+        LOGGER.info("training done at step %d", global_step)
+        return state
+
+
+def validate(model, state, val, buckets, valid_ids, opts, mesh):
+    """Per-task validation (reference pretrain.py:658-1051)."""
+    import jax
+    from uc2_tpu.data.loader import TaskLoader
+    from uc2_tpu.parallel import mesh as M
+    from uc2_tpu.training.step import make_eval_step
+
+    for key, v in val.items():
+        task = v["task"]
+        ev = jax.jit(make_eval_step(model, task, valid_ids=valid_ids))
+        tl = TaskLoader(key, v["dataset"], buckets, seed=0, shuffle=False,
+                        drop_last=False)
+        agg = defaultdict(float)
+        t0 = time.time()
+        for _ in range(opts.val_batches):
+            batch = tl.next_batch()
+            batch.pop("_bucket", None)
+            batch.pop("sample_size", None)
+            out = ev(state.params, M.shard_batch(mesh, batch))
+            for k, x in out.items():
+                agg[k] += float(x)
+        log = {}
+        if "n_word" in agg and agg["n_word"]:
+            log["loss"] = agg["loss"] / agg["n_word"]
+            log["acc"] = agg.get("n_correct", 0) / agg["n_word"]
+        elif "n_feat" in agg and agg["n_feat"]:
+            log["loss"] = agg["loss"] / agg["n_feat"]
+            if "n_correct" in agg:
+                log["acc"] = agg["n_correct"] / agg["n_feat"]
+        elif "n_ex" in agg and agg["n_ex"]:
+            log["loss"] = agg["loss"] / agg["n_ex"]
+            log["acc"] = agg.get("n_correct", 0) / agg["n_ex"]
+        LOGGER.info("validate %s: %s (%.1fs)", key,
+                    {k: round(x, 4) for k, x in log.items()},
+                    time.time() - t0)
+        TB_LOGGER.log_scalar_dict(log, prefix=f"valid_{key}")
+
+
+def load_raw_checkpoint(path: str):
+    """torch .pt state dict or our msgpack tree → flat dict of numpy."""
+    if path.endswith((".pt", ".bin", ".pth")):
+        import torch
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        return sd
+    from flax import serialization
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def load_any_checkpoint(path: str, opts):
+    from uc2_tpu.models import convert
+    sd = load_raw_checkpoint(path)
+    # our own trees are already nested param dicts
+    if isinstance(sd, dict) and "roberta" in sd and isinstance(
+            sd.get("roberta"), dict):
+        return sd
+    return convert.torch_to_params(
+        sd, load_embedding_only=opts.load_embedding_only,
+        load_layer=opts.load_layer)
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="UC2-TPU pretraining")
+    p.add_argument("--config", help="JSON config (CLI flags win)")
+    p.add_argument("--model_config", type=str,
+                   default="config/uc2-base.json")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--early_adaptation_checkpoint", type=str, default=None)
+    p.add_argument("--load_embedding_only", action="store_true")
+    p.add_argument("--load_layer", type=int, default=None)
+    p.add_argument("--output_dir", type=str, required=False,
+                   default="output/pretrain")
+    p.add_argument("--train_datasets", type=json.loads, default=None)
+    p.add_argument("--val_datasets", type=json.loads, default=None)
+    # data knobs (reference defaults, pretrain.py:1054-1158)
+    p.add_argument("--max_txt_len", type=int, default=60)
+    p.add_argument("--conf_th", type=float, default=0.2)
+    p.add_argument("--max_bb", type=int, default=100)
+    p.add_argument("--min_bb", type=int, default=10)
+    p.add_argument("--num_bb", type=int, default=36)
+    p.add_argument("--mlm_prob", type=float, default=0.15)
+    p.add_argument("--mrm_prob", type=float, default=0.15)
+    p.add_argument("--itm_neg_prob", type=float, default=0.5)
+    p.add_argument("--itm_ot_lambda", type=float, default=0.0)
+    p.add_argument("--ot_pos_only", action="store_true")
+    p.add_argument("--comasking_mode", type=str, default="random",
+                   choices=["random", "full", "mix"])
+    # training
+    p.add_argument("--train_batch_size", type=int, default=10240,
+                   help="token budget per bucket batch")
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--learning_rate", type=float, default=4e-5)
+    p.add_argument("--betas", type=float, nargs=2, default=[0.9, 0.98])
+    p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--grad_norm", type=float, default=5.0)
+    p.add_argument("--decay", type=str, default="linear")
+    p.add_argument("--warmup_steps", type=int, default=10000)
+    p.add_argument("--num_train_steps", type=int, default=200000)
+    p.add_argument("--valid_steps", type=int, default=5000)
+    p.add_argument("--val_batches", type=int, default=8)
+    p.add_argument("--save_steps", type=int, default=200)
+    p.add_argument("--log_steps", type=int, default=100)
+    p.add_argument("--seed", type=int, default=42)
+    # TPU
+    p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--n_model", type=int, default=1,
+                   help="tensor-parallel width of the mesh")
+    return p
+
+
+if __name__ == "__main__":
+    opts = parse_with_config(build_parser())
+    main(opts)

@@ -1,0 +1,73 @@
+"""End-to-end pretraining driver test on a synthetic corpus (CPU mesh)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from uc2_tpu.data.synth import synth_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    out = tmp_path_factory.mktemp("driver_corpus")
+    return synth_corpus(str(out), n_imgs=12, txt_per_img=2, min_bb=4,
+                        max_bb=10, img_dim=16, n_classes=11, seed=7,
+                        max_words=6, vocab=512)
+
+
+@pytest.fixture(scope="module")
+def model_config(tmp_path_factory):
+    path = tmp_path_factory.mktemp("cfg") / "tiny.json"
+    path.write_text(json.dumps({
+        "vocab_size": 512, "hidden_size": 32, "num_hidden_layers": 1,
+        "num_attention_heads": 2, "intermediate_size": 64,
+        "max_position_embeddings": 64, "img_dim": 16, "img_label_dim": 11,
+        "use_pallas_attention": False}))
+    return str(path)
+
+
+def run_driver(corpus, model_config, tmp_path, extra=None):
+    import pretrain
+    argv = [
+        "--model_config", model_config,
+        "--output_dir", str(tmp_path / "out"),
+        "--train_datasets", json.dumps([
+            {"name": "synth_en", "language": "en",
+             "db": [corpus["txt_db"]], "img": [corpus["img_db"]],
+             "tasks": ["mlm", "itm", "mrfr"], "mix_ratio": [2, 1, 1]}]),
+        "--val_datasets", json.dumps([
+            {"name": "synth_val", "language": "en",
+             "db": [corpus["txt_db"]], "img": [corpus["img_db"]],
+             "tasks": ["mlm"], "mix_ratio": [1]}]),
+        "--max_txt_len", "20", "--max_bb", "10", "--min_bb", "4",
+        "--train_batch_size", "256",
+        "--num_train_steps", "6", "--warmup_steps", "2",
+        "--valid_steps", "6", "--val_batches", "2", "--save_steps", "3",
+        "--log_steps", "2", "--dtype", "float32", "--seed", "0",
+    ] + (extra or [])
+    opts = pretrain.parse_with_config(pretrain.build_parser(), argv)
+    return pretrain.main(opts), opts
+
+
+def test_pretrain_end_to_end(corpus, model_config, tmp_path):
+    state, opts = run_driver(corpus, model_config, tmp_path)
+    assert int(state.step) == 6
+    # artifacts: hps, log, checkpoint, restore file
+    assert os.path.exists(os.path.join(opts.output_dir, "log", "hps.json"))
+    assert os.path.exists(os.path.join(opts.output_dir, "restore.ckpt"))
+    ckpts = os.listdir(os.path.join(opts.output_dir, "ckpt"))
+    assert any("model_step" in c for c in ckpts)
+    scalars = open(os.path.join(opts.output_dir, "log",
+                                "scalars.jsonl")).read()
+    assert "loss/" in scalars and "perf/ex_per_s" in scalars
+
+
+def test_pretrain_resume(corpus, model_config, tmp_path):
+    """Kill at step 6 → restart → restorer resumes past step 6."""
+    state, opts = run_driver(corpus, model_config, tmp_path)
+    assert int(state.step) == 6
+    state2, _ = run_driver(corpus, model_config, tmp_path,
+                           extra=["--num_train_steps", "8"])
+    assert int(state2.step) == 8
