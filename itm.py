@@ -1,0 +1,244 @@
+"""UC2-TPU image-text retrieval finetuning + evaluation driver.
+
+Reference entry point: itm.py (rank-loss finetune, hard-negative mining,
+full multilingual retrieval eval, itm.py:77-538). Same CLI/JSON-config
+surface; TPU-native internals (one mesh, jitted rank-loss step, static-shape
+pair scoring for eval — see uc2_tpu/evalu/retrieval.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Dict
+
+import numpy as np
+
+from uc2_tpu.config import UC2Config, parse_with_config
+from uc2_tpu.utils.logger import LOGGER, TB_LOGGER, RunningMeter, add_log_to_file
+
+
+def main(opts):
+    import jax
+    import jax.numpy as jnp
+    from uc2_tpu.data.collate import BucketSpec
+    from uc2_tpu.data.db import DetectFeatDb, TxtTokDb
+    from uc2_tpu.data.loader import TaskLoader
+    from uc2_tpu.data import datasets as D
+    from uc2_tpu.evalu.retrieval import full_retrieval_eval, mine_hard_negatives
+    from uc2_tpu.models.finetune import UC2ForImageTextRetrieval
+    from uc2_tpu.models import convert
+    from uc2_tpu.parallel import mesh as M
+    from uc2_tpu.training import optim as O
+    from uc2_tpu.training.checkpoint import (ModelSaver, TrainingRestorer,
+                                             save_training_meta)
+    from uc2_tpu.training.step import TrainState, create_train_state
+
+    np.random.seed(opts.seed)
+    os.makedirs(opts.output_dir, exist_ok=True)
+    save_training_meta(opts.output_dir, vars(opts))
+    TB_LOGGER.create(os.path.join(opts.output_dir, "log"))
+    add_log_to_file(os.path.join(opts.output_dir, "log", "log.txt"))
+
+    cfg = UC2Config.from_json_file(opts.model_config).replace(
+        dtype=opts.dtype)
+    model = UC2ForImageTextRetrieval(cfg, margin=opts.margin)
+    params = model.init_params(jax.random.PRNGKey(opts.seed))
+    params = jax.tree_util.tree_map(np.asarray, params)
+    if opts.checkpoint:
+        from pretrain import load_any_checkpoint
+        params = convert.merge_params(params,
+                                      load_any_checkpoint(opts.checkpoint,
+                                                          opts))
+        # rank head from pretrained ITM head (reference model/itm.py:23-26)
+        params = convert.init_rank_from_itm(params)
+
+    # ---- data
+    txt_db = TxtTokDb(opts.train_txt_db, max_txt_len=opts.max_txt_len)
+    img_db = DetectFeatDb(opts.train_img_db, opts.conf_th, opts.max_bb,
+                          opts.min_bb, opts.num_bb)
+    if opts.hard_neg_size > 0:
+        dataset = D.ItmRankHardNegDataset(txt_db, img_db,
+                                          opts.negative_size)
+    else:
+        dataset = D.ItmRankDataset(txt_db, img_db, opts.negative_size)
+    sample_size = dataset.sample_size
+    group_count = max(1, opts.train_batch_size // sample_size)
+    # flattened rows (groups × sample_size) should divide the data axis
+    n_data = len(__import__("jax").devices()) // opts.n_model
+    while (group_count * sample_size) % n_data and group_count > 1:
+        group_count += 1
+    bucket = BucketSpec(opts.max_txt_len + 2, opts.max_bb,
+                        group_count, 0)
+    loader = TaskLoader("itm-rank", dataset, [bucket], seed=opts.seed)
+
+    val_txt_db = TxtTokDb(opts.val_txt_db, max_txt_len=opts.max_txt_len) \
+        if opts.val_txt_db else None
+    val_img_db = (DetectFeatDb(opts.val_img_db, opts.conf_th, opts.max_bb,
+                               opts.min_bb, opts.num_bb)
+                  if opts.val_img_db else None)
+
+    # ---- optimizer: optionally separate XLM-R lr (itm.py:216-219)
+    lr_fn = O.get_lr_schedule(opts.decay, opts.learning_rate,
+                              opts.warmup_steps, opts.num_train_steps)
+    if opts.separate_lr:
+        xlmr_fn = O.get_lr_schedule(opts.decay, opts.xlmr_lr,
+                                    opts.warmup_steps, opts.num_train_steps)
+        tx = O.build_xlmr_optimizer(params, lr_fn, xlmr_fn,
+                                    opts.weight_decay, tuple(opts.betas),
+                                    grad_norm=opts.grad_norm,
+                                    load_layer=opts.load_layer)
+    else:
+        tx = O.build_optimizer(params, lr_fn, opts.weight_decay,
+                               tuple(opts.betas), grad_norm=opts.grad_norm)
+
+    mesh = M.make_mesh(n_model=opts.n_model)
+    sharded = M.shard_params(mesh, params)
+    del params
+
+    def loss_fn(p, batch, rng):
+        loss = model.rank_loss(p, batch, sample_size, deterministic=False,
+                               rngs={"dropout": rng})
+        return jnp.mean(loss), loss
+
+    import optax
+
+    def train_step(state, batch, rng):
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, new_params, opt_state), loss
+
+    with mesh:
+        state = jax.jit(lambda p: create_train_state(p, tx))(sharded)
+        restorer = TrainingRestorer(
+            opts.output_dir, {"lr": opts.learning_rate, "seed": opts.seed},
+            save_steps=opts.save_steps)
+        if restorer.restore_pending:
+            state = restorer.restore(state)
+            LOGGER.info("resumed at step %d", int(state.step))
+        saver = ModelSaver(opts.output_dir)
+        jit_step = jax.jit(train_step)
+        score_fn = jax.jit(
+            lambda p, b: model.scores(p, b, deterministic=True))
+
+        meter = RunningMeter("rank_loss")
+        rng_key = jax.random.PRNGKey(opts.seed + 1)
+        global_step = int(state.step)
+        start = time.time()
+        n_ex = 0
+        while global_step < opts.num_train_steps:
+            batch = loader.next_batch()
+            batch.pop("_bucket", None)
+            batch.pop("sample_size", None)
+            batch.pop("targets", None)
+            n_ex += batch["input_ids"].shape[0]
+            batch = M.shard_batch(mesh, batch)
+            rng_key, sub = jax.random.split(rng_key)
+            state, loss = jit_step(state, batch, sub)
+            global_step = int(state.step)
+            meter(float(loss))
+
+            if global_step % opts.log_steps == 0:
+                LOGGER.info("step %d | %.0f ex/s | %s", global_step,
+                            n_ex / max(time.time() - start, 1e-9), meter)
+                TB_LOGGER.add_scalar("loss/rank", meter.val, global_step)
+                TB_LOGGER.add_scalar("lr", float(lr_fn(global_step)),
+                                     global_step)
+
+            if opts.valid_steps and global_step % opts.valid_steps == 0 \
+                    and val_txt_db is not None:
+                log = full_retrieval_eval(
+                    model, state.params, val_txt_db, val_img_db,
+                    opts.max_txt_len + 2, opts.max_bb,
+                    batch_size=opts.eval_batch_size,
+                    txt_ids=val_txt_db.ids[:opts.eval_txt_limit]
+                    if opts.eval_txt_limit else None)
+                LOGGER.info("validation R@K: %s",
+                            {k: round(v, 4) for k, v in log.items()})
+                TB_LOGGER.log_scalar_dict(log, prefix="val")
+                saver.save(jax.tree_util.tree_map(np.asarray, state.params),
+                           global_step)
+
+            if (opts.hard_neg_size > 0 and opts.hard_neg_steps
+                    and global_step % opts.hard_neg_steps == 0):
+                LOGGER.info("mining hard negatives at step %d", global_step)
+                hard = mine_hard_negatives(
+                    model, state.params, txt_db, img_db,
+                    opts.max_txt_len + 2, opts.max_bb,
+                    hard_neg_size=opts.hard_neg_size,
+                    batch_size=opts.eval_batch_size,
+                    out_path=os.path.join(opts.output_dir,
+                                          f"hard_negs_{global_step}.json"))
+                dataset.reload_hard_negs(hard)
+            restorer.step(global_step, state)
+
+        # final full evaluation on every test db pair (itm.py:367-381)
+        results = {}
+        for spec in opts.test_datasets or []:
+            tdb = TxtTokDb(spec["db"], max_txt_len=opts.max_txt_len)
+            idb = DetectFeatDb(spec["img"], opts.conf_th, opts.max_bb,
+                               opts.min_bb, opts.num_bb)
+            log = full_retrieval_eval(model, state.params, tdb, idb,
+                                      opts.max_txt_len + 2, opts.max_bb,
+                                      batch_size=opts.eval_batch_size)
+            LOGGER.info("test [%s]: %s", spec.get("name", spec["db"]),
+                        {k: round(v, 4) for k, v in log.items()})
+            results[spec.get("name", spec["db"])] = log
+        if results:
+            with open(os.path.join(opts.output_dir, "test_results.json"),
+                      "w") as f:
+                json.dump(results, f, indent=2)
+        return state, results
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="UC2-TPU retrieval finetune")
+    p.add_argument("--config")
+    p.add_argument("--model_config", default="config/uc2-base.json")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--load_embedding_only", action="store_true")
+    p.add_argument("--load_layer", type=int, default=None)
+    p.add_argument("--output_dir", default="output/itm")
+    p.add_argument("--train_txt_db", type=str, default=None)
+    p.add_argument("--train_img_db", type=str, default=None)
+    p.add_argument("--val_txt_db", type=str, default=None)
+    p.add_argument("--val_img_db", type=str, default=None)
+    p.add_argument("--test_datasets", type=json.loads, default=None)
+    p.add_argument("--max_txt_len", type=int, default=60)
+    p.add_argument("--conf_th", type=float, default=0.2)
+    p.add_argument("--max_bb", type=int, default=100)
+    p.add_argument("--min_bb", type=int, default=10)
+    p.add_argument("--num_bb", type=int, default=36)
+    p.add_argument("--margin", type=float, default=0.2)
+    p.add_argument("--negative_size", type=int, default=1)
+    p.add_argument("--hard_neg_size", type=int, default=0)
+    p.add_argument("--hard_neg_steps", type=int, default=0)
+    p.add_argument("--train_batch_size", type=int, default=40,
+                   help="examples (groups × sample_size) per step")
+    p.add_argument("--eval_batch_size", type=int, default=64)
+    p.add_argument("--eval_txt_limit", type=int, default=0)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--separate_lr", action="store_true")
+    p.add_argument("--xlmr_lr", type=float, default=1e-7)
+    p.add_argument("--betas", type=float, nargs=2, default=[0.9, 0.98])
+    p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--grad_norm", type=float, default=2.0)
+    p.add_argument("--decay", default="linear")
+    p.add_argument("--warmup_steps", type=int, default=5000)
+    p.add_argument("--num_train_steps", type=int, default=50000)
+    p.add_argument("--valid_steps", type=int, default=5000)
+    p.add_argument("--save_steps", type=int, default=200)
+    p.add_argument("--log_steps", type=int, default=100)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--n_model", type=int, default=1)
+    return p
+
+
+if __name__ == "__main__":
+    opts = parse_with_config(build_parser())
+    main(opts)

@@ -413,6 +413,50 @@ class ItmRankDataset(VLDataset):
         return group
 
 
+class ItmRankHardNegDataset(ItmRankDataset):
+    """Rank groups with *mined* hard-negative images (reference
+    ItmRankDatasetHardNeg, data/itm.py:561-613: negative pool reloaded from
+    the JSON written by the mining pass)."""
+
+    def __init__(self, txt_db, img_db, neg_sample_size: int = 1,
+                 hard_negs: Optional[Dict[str, List[str]]] = None):
+        super().__init__(txt_db, img_db, neg_sample_size)
+        self.hard_negs = hard_negs or {}
+
+    def reload_hard_negs(self, path_or_dict):
+        if isinstance(path_or_dict, str):
+            import json as _json
+            with open(path_or_dict) as f:
+                self.hard_negs = _json.load(f)
+        else:
+            self.hard_negs = dict(path_or_dict)
+
+    def get_example(self, i, rng):
+        id_ = self.ids[i]
+        negs = self.hard_negs.get(id_)
+        if not negs:
+            return super().get_example(i, rng)
+        rec = self.example_record(i)
+        gt_img = self.txt2img[id_]
+        ids = self.txt_db.combine_inputs(rec["input_ids"])
+        feat, bb7, _ = self._img_feat(gt_img)
+        group = [{"input_ids": ids, "img_feat": feat, "img_pos_feat": bb7,
+                  "target": 1}]
+        for _ in range(self.neg_sample_size):
+            neg_img = negs[int(rng.integers(0, len(negs)))]
+            f2, b2, _ = self._img_feat(neg_img)
+            group.append({"input_ids": ids, "img_feat": f2,
+                          "img_pos_feat": b2, "target": 0})
+        gt_txts = self.img2txts[gt_img]
+        for _ in range(self.neg_sample_size):
+            neg_txt = sample_negative(rng, self.all_txts, gt_txts)
+            nids = self.txt_db.combine_inputs(
+                self.txt_db[neg_txt]["input_ids"])
+            group.append({"input_ids": nids, "img_feat": feat,
+                          "img_pos_feat": bb7, "target": 0})
+        return group
+
+
 class ItmEvalDataset(VLDataset):
     """Full retrieval eval: every text scored against every image
     (reference ItmEvalDataset, data/itm.py:891+). Iteration is handled by

@@ -1,0 +1,127 @@
+"""Full image-text retrieval evaluation + hard-negative mining.
+
+Reference: itm.py:516-538 (inference: per-text fp16 score row over ALL
+images, minibatched, images pre-sorted by nbb), itm.py:448-489 (quick val:
+rank GT among 400), itm.py:59-74/385-445 (hard-negative mining → JSON).
+
+TPU-native: image features for the whole gallery are materialized once into
+a padded [n_img, Nb, D] block; a single jitted pair-scoring function of
+static shape [B, Lt+Nb] is reused for every (text × image-minibatch) tile.
+Across hosts, shard the text list (`txt_ids[rank::world]`) and all-gather
+rows — the reference's hvd.allgather(score_matrix) becomes a host-level
+gather because eval is embarrassingly data-parallel.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def load_image_gallery(img_db, img_ids: Sequence[str], num_bb: int):
+    """Pad the gallery to [n_img, Nb, D] (+ bb7, + per-image nbb)."""
+    n = len(img_ids)
+    feat0, _ = img_db[img_ids[0]]
+    D = feat0.shape[1]
+    feats = np.zeros((n, num_bb, D), np.float32)
+    bb7 = np.zeros((n, num_bb, 7), np.float32)
+    nbbs = np.zeros(n, np.int32)
+    for j, im in enumerate(img_ids):
+        f, b = img_db[im]
+        k = min(f.shape[0], num_bb)
+        feats[j, :k] = f[:k]
+        bb7[j, :k] = b[:k]
+        nbbs[j] = k
+    return feats, bb7, nbbs
+
+
+def score_matrix(model, params, txt_db, img_db,
+                 txt_ids: Sequence[str], img_ids: Sequence[str],
+                 txt_len: int, num_bb: int, batch_size: int = 64,
+                 score_fn=None) -> np.ndarray:
+    """[n_txt, n_img] rank scores through the joint encoder."""
+    import jax
+    import jax.numpy as jnp
+
+    if score_fn is None:
+        score_fn = jax.jit(
+            lambda p, b: model.scores(p, b, deterministic=True))
+
+    feats, bb7, nbbs = load_image_gallery(img_db, img_ids, num_bb)
+    n_img = len(img_ids)
+    pad = (-n_img) % batch_size
+    if pad:
+        feats = np.concatenate([feats, np.zeros_like(feats[:pad])])
+        bb7 = np.concatenate([bb7, np.zeros_like(bb7[:pad])])
+        nbbs = np.concatenate([nbbs, np.zeros(pad, np.int32)])
+    n_tiles = feats.shape[0] // batch_size
+    region_mask = (np.arange(num_bb)[None, :]
+                   < nbbs[:, None]).astype(np.int32)
+
+    out = np.zeros((len(txt_ids), n_img), np.float32)
+    for i, tid in enumerate(txt_ids):
+        rec = txt_db[tid]
+        ids = np.asarray(txt_db.combine_inputs(rec["input_ids"]))[:txt_len]
+        row_ids = np.full((batch_size, txt_len), 1, np.int32)  # pad id 1
+        row_ids[:, :len(ids)] = ids
+        txt_mask = np.zeros((batch_size, txt_len), np.int32)
+        txt_mask[:, :len(ids)] = 1
+        for t in range(n_tiles):
+            sl = slice(t * batch_size, (t + 1) * batch_size)
+            batch = {
+                "input_ids": jnp.asarray(row_ids),
+                "img_feat": jnp.asarray(feats[sl]),
+                "img_pos_feat": jnp.asarray(bb7[sl]),
+                "attn_mask": jnp.asarray(
+                    np.concatenate([txt_mask, region_mask[sl]], axis=1)),
+            }
+            s = np.asarray(score_fn(params, batch))
+            lo, hi = t * batch_size, min((t + 1) * batch_size, n_img)
+            if lo < n_img:
+                out[i, lo:hi] = s[:hi - lo]
+    return out
+
+
+def full_retrieval_eval(model, params, txt_db, img_db, txt_len: int,
+                        num_bb: int, batch_size: int = 64,
+                        txt_ids: Optional[Sequence[str]] = None
+                        ) -> Dict[str, float]:
+    """Score-matrix eval → R@K both directions (reference evaluate(),
+    itm.py:492-538 + eval/itm.py:6)."""
+    from uc2_tpu.evalu.itm_metrics import itm_eval
+    txt2img = txt_db.txt2img
+    img2txts = txt_db.img2txts
+    txt_ids = list(txt_ids if txt_ids is not None else txt_db.ids)
+    # images sorted by nbb for cache friendliness (reference data/itm.py:905)
+    img_ids = sorted({txt2img[t] for t in txt_ids},
+                     key=lambda im: img_db.name2nbb[im])
+    m = score_matrix(model, params, txt_db, img_db, txt_ids, img_ids,
+                     txt_len, num_bb, batch_size)
+    return itm_eval(m, txt_ids, img_ids, txt2img, img2txts)
+
+
+def mine_hard_negatives(model, params, txt_db, img_db, txt_len: int,
+                        num_bb: int, hard_neg_size: int = 30,
+                        batch_size: int = 64,
+                        out_path: Optional[str] = None
+                        ) -> Dict[str, List[str]]:
+    """Top-k highest-scoring wrong images per text (reference get_hard_negs,
+    itm.py:59-74, 385-445)."""
+    txt2img = txt_db.txt2img
+    txt_ids = list(txt_db.ids)
+    img_ids = sorted({txt2img[t] for t in txt_ids})
+    m = score_matrix(model, params, txt_db, img_db, txt_ids, img_ids,
+                     txt_len, num_bb, batch_size)
+    img_arr = np.asarray(img_ids, dtype=object)
+    hard: Dict[str, List[str]] = {}
+    for i, tid in enumerate(txt_ids):
+        gt = txt2img[tid]
+        order = np.argsort(-m[i], kind="stable")
+        negs = [img_arr[j] for j in order if img_arr[j] != gt]
+        hard[tid] = list(negs[:hard_neg_size])
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(hard, f)
+    return hard

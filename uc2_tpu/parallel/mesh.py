@@ -74,9 +74,13 @@ def param_shardings(mesh: Mesh, params) -> Any:
 
 
 def batch_shardings(mesh: Mesh, batch) -> Any:
-    """Batch arrays shard over 'data' on the leading axis; scalars replicate."""
+    """Batch arrays shard over 'data' on the leading axis; scalars (and
+    arrays whose leading dim the data axis doesn't divide — e.g. ragged
+    trailing eval batches) replicate."""
+    n_data = mesh.shape["data"]
     def f(x):
-        if hasattr(x, "ndim") and getattr(x, "ndim", 0) >= 1:
+        if (hasattr(x, "ndim") and getattr(x, "ndim", 0) >= 1
+                and x.shape[0] % n_data == 0):
             return NamedSharding(mesh, P("data"))
         return NamedSharding(mesh, P())
     return jax.tree_util.tree_map(f, batch)
