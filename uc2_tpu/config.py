@@ -56,6 +56,10 @@ class UC2Config:
     pad_token_id: int = 1
     img_dim: int = IMG_DIM
     img_label_dim: int = IMG_LABEL_DIM
+    # "xlmr": position ids recomputed from the pad mask (cumsum formula,
+    # reference model/model.py:280-290); "bert": plain arange (legacy UNITER
+    # twin, whose collators pass arange position ids — model/model.py:778+).
+    position_style: str = "xlmr"
 
     # --- TPU-specific knobs (no reference equivalent) ---
     # Compute dtype for activations ("bfloat16" on TPU, "float32" for parity).

@@ -110,8 +110,13 @@ class TextEmbeddings(nn.Module):
                              (cfg.max_position_embeddings, cfg.hidden_size),
                              jnp.float32)
         if position_ids is None:
-            position_ids = create_position_ids_from_input_ids(
-                input_ids, cfg.pad_token_id)
+            if cfg.position_style == "bert":
+                position_ids = jnp.broadcast_to(
+                    jnp.arange(input_ids.shape[1], dtype=jnp.int32)[None],
+                    input_ids.shape)
+            else:
+                position_ids = create_position_ids_from_input_ids(
+                    input_ids, cfg.pad_token_id)
         x = (jnp.take(word_emb, input_ids, axis=0)
              + jnp.take(pos_emb, position_ids, axis=0)
              + type_embeddings)

@@ -159,3 +159,19 @@ def load_ans2label(name: str = "ans2label.json") -> Dict[str, int]:
     """Load a shipped answer map (reference misc/*.json)."""
     with open(os.path.join(ASSETS, name)) as f:
         return json.load(f)
+
+
+# ---- visual entailment (reference utils/visual_entailment.py) -------------
+VE_ANS2LABEL = {"contradiction": 0, "entailment": 1, "neutral": 2}
+
+
+def compute_target_ve(answers: List[str]) -> Dict[str, List]:
+    """Soft target over the 3 VE classes: per-class annotator fraction
+    (reference utils/visual_entailment.py:23-38)."""
+    counts = Counter(answers)
+    labels, scores = [], []
+    for ans, n in counts.items():
+        if ans in VE_ANS2LABEL:
+            labels.append(VE_ANS2LABEL[ans])
+            scores.append(n / len(answers))
+    return {"labels": labels, "scores": scores}
