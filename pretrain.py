@@ -88,6 +88,9 @@ def build_datasets(opts, which: str = "train"):
                               soft_label_db=sl)
                 elif task == "mrfr":
                     ds = D.MrfrDataset(txt_db, img_db, opts.mrm_prob)
+                elif task == "mrm-nce":
+                    ds = D.MrmNceDataset(txt_db, img_db, opts.mrm_prob,
+                                         neg_size=opts.nce_neg_size)
                 elif task.startswith("mrc"):
                     ds = D.MrcDataset(txt_db, img_db, opts.mrm_prob)
                 elif task.startswith("itm"):
@@ -313,6 +316,7 @@ def build_parser():
     p.add_argument("--mlm_prob", type=float, default=0.15)
     p.add_argument("--mrm_prob", type=float, default=0.15)
     p.add_argument("--itm_neg_prob", type=float, default=0.5)
+    p.add_argument("--nce_neg_size", type=int, default=128)
     p.add_argument("--itm_ot_lambda", type=float, default=0.0)
     p.add_argument("--ot_pos_only", action="store_true")
     p.add_argument("--comasking_mode", type=str, default="random",

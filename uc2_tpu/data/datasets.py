@@ -279,6 +279,89 @@ class MrcDataset(VLDataset):
                 "label_targets": soft}
 
 
+class NegativeImageSampler:
+    """Samples negative region features from random other images (reference
+    NegativeImageSampler, data/mrm_nce.py:61-95)."""
+
+    def __init__(self, img_db: DetectFeatDb, neg_size: int = 128):
+        self.img_db = img_db
+        self.neg_size = neg_size
+        self.fnames = sorted(img_db.name2nbb.keys())
+
+    def sample(self, rng: np.random.Generator, exclude: str) -> np.ndarray:
+        out = []
+        total = 0
+        while total < self.neg_size:
+            f = self.fnames[int(rng.integers(0, len(self.fnames)))]
+            if f == exclude:
+                continue
+            feat, _ = self.img_db[f]
+            out.append(feat)
+            total += feat.shape[0]
+        return np.concatenate(out, axis=0)[:self.neg_size]
+
+
+class MrmNceDataset(MrfrDataset):
+    """Masked-region contrastive learning (reference MrmNceDataset,
+    data/mrm_nce.py:37-59 + mrm_nce_collate :97-140).
+
+    NOTE: the reference's model path is broken end-to-end (forward raises
+    NotImplementedError, model/model.py:1237; the NCE head is commented
+    out). This implementation completes the objective: 10%/10%
+    noop/feature-swap input corruption (:16-34), `neg_size` sampled negative
+    region features + in-batch negatives, and a working NCE head/loss in
+    models/pretraining.py::forward_mrm_nce.
+    """
+
+    slot_target_keys = ("feat_targets",)
+
+    def __init__(self, txt_db, img_db, mask_prob: float = 0.15,
+                 neg_size: int = 128, noop_prob: float = 0.1,
+                 swap_prob: float = 0.1):
+        super().__init__(txt_db, img_db, mask_prob)
+        self.neg_sampler = NegativeImageSampler(img_db, neg_size)
+        self.noop_prob = noop_prob
+        self.swap_prob = swap_prob
+
+    def get_example(self, i, rng):
+        rec = self.example_record(i)
+        ids = self.txt_db.combine_inputs(rec["input_ids"])
+        feat, bb7, nbb = self._img_feat(rec["img_fname"])
+        img_masks = masking.region_mask(rng, nbb, self.mask_prob)
+        targets = feat.copy()
+        # input corruption (reference _mask_img_feat_for_nce semantics):
+        # 10% keep the original feature visible, 10% swap in a random other
+        # region's feature; otherwise zero (the collator zeroes via
+        # img_masks, so noop/swap slots are carried separately)
+        u = rng.random(nbb)
+        visible = img_masks & (u < self.noop_prob)
+        swap = img_masks & (u >= self.noop_prob) \
+            & (u < self.noop_prob + self.swap_prob)
+        feat_in = feat.copy()
+        if swap.any():
+            src = rng.integers(0, nbb, int(swap.sum()))
+            feat_in[np.flatnonzero(swap)] = feat[src]
+        # img_masks passed to the model covers only truly-zeroed slots;
+        # prediction targets (img_mask_tgt) cover all masked slots
+        zero_mask = img_masks & ~visible & ~swap
+        return {"input_ids": ids, "img_feat": feat_in, "img_pos_feat": bb7,
+                "img_masks": zero_mask, "img_mask_tgt": img_masks,
+                "feat_targets": targets,
+                "neg_feats": self.neg_sampler.sample(rng,
+                                                     rec["img_fname"])}
+
+    def collate(self, examples, spec):
+        batch = collate_batch(examples, spec, self.pad_token_id,
+                              self.slot_target_keys)
+        # one shared negative pool per batch (the reference concatenates all
+        # sampled negatives, data/mrm_nce.py:123-128); take the first
+        # example's pool + one row per example for diversity
+        pools = [e["neg_feats"] for e in examples]
+        batch["neg_feats"] = np.concatenate(
+            [pools[0]] + [p[:8] for p in pools[1:]], axis=0)
+        return batch
+
+
 # --------------------------------------------------------------------- ITM
 def sample_negative(rng: np.random.Generator, pool: List, exclude) -> Any:
     while True:
@@ -499,6 +582,48 @@ class VeDataset(VqaDataset):
 
     def __init__(self, txt_db, img_db):
         super().__init__(txt_db, img_db, num_answers=3)
+
+
+class Nlvr2TwoRowDataset(VLDataset):
+    """NLVR2 'paired' format: each example becomes TWO rows (statement +
+    left image, statement + right image), consumed by the paired /
+    paired-attn heads which operate on row pairs (reference
+    data/nlvr2.py:18-96 with UniterForNlvr2Paired)."""
+
+    def __init__(self, txt_db, img_db, use_img_type: bool = True):
+        super().__init__(txt_db, img_db)
+        self.use_img_type = use_img_type
+
+    def get_example(self, i, rng):
+        rec = self.example_record(i)
+        ids = self.txt_db.combine_inputs(rec["input_ids"])
+        fnames = rec.get("img_fnames", [rec.get("img_fname")] * 2)
+        rows = []
+        for k, fn in enumerate(fnames[:2]):
+            f, b, n = self._img_feat(fn)
+            row = {"input_ids": ids, "img_feat": f, "img_pos_feat": b,
+                   "target": int(rec.get("target", 0))}
+            if self.use_img_type:
+                row["img_type_ids"] = np.full(n, k + 1, np.int32)
+            rows.append(row)
+        return rows  # grouped: loader flattens, keeping pairs adjacent
+
+    @property
+    def sample_size(self):
+        return 2
+
+    def collate(self, examples, spec):
+        batch = collate_batch(examples, spec, self.pad_token_id)
+        if self.use_img_type:
+            B, Nb = spec.batch_size, spec.num_bb
+            t = np.ones((B, Nb), np.int32)
+            for b, e in enumerate(examples):
+                ti = np.asarray(e.get("img_type_ids", []))[:Nb]
+                t[b, :ti.shape[0]] = ti
+            batch["img_type_ids"] = t
+        # per-pair targets (rows come in (left, right) pairs)
+        batch["targets"] = batch["targets"][::2]
+        return batch
 
 
 class Nlvr2PairedDataset(VLDataset):

@@ -95,6 +95,25 @@ class RegionClassification(nn.Module):
             jnp.float32)
 
 
+class NceHead(nn.Module):
+    """MRM-NCE projection: dense → gelu → LN(1e-12) → Linear(H → img_dim).
+
+    The reference sketches exactly this head but leaves it commented out and
+    the task unimplemented (model/model.py:1186-1192, :1237); completed here.
+    """
+    config: UC2Config
+
+    @nn.compact
+    def __call__(self, h):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        x = Dense(cfg.hidden_size, dtype=dtype, name="dense")(h)
+        x = gelu(x)
+        x = LayerNorm(eps=cfg.block_layer_norm_eps, dtype=dtype,
+                      name="layer_norm")(x)
+        return Dense(cfg.img_dim, dtype=dtype, name="out")(x)
+
+
 class ItmHead(nn.Module):
     """Linear(hidden → 2) over the pooled CLS (reference model/model.py:474)."""
     config: UC2Config

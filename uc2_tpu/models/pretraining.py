@@ -58,14 +58,17 @@ class UC2ForPretraining:
     model/model.py:495-568), and tying is explicit.
     """
 
-    def __init__(self, config: UC2Config, ot_pos_only: bool = False):
+    def __init__(self, config: UC2Config, ot_pos_only: bool = False,
+                 nce_temp: float = 1.0):
         self.config = config
         self.ot_pos_only = ot_pos_only
+        self.nce_temp = nce_temp
         self.encoder = UC2Model(config)
         self.cls = H.RobertaLMHead(config)
         self.feat_regress = H.RegionFeatureRegression(config)
         self.region_classifier = H.RegionClassification(config)
         self.itm_output = H.ItmHead(config)
+        self.nce_output = H.NceHead(config)
 
     # ------------------------------------------------------------------ init
     def init_params(self, rng: jax.Array, txt_len: int = 8,
@@ -91,6 +94,8 @@ class UC2ForPretraining:
             "region_classifier": self.region_classifier.init(
                 {"params": r_rc}, h)["params"],
             "itm_output": self.itm_output.init({"params": r_itm}, pooled)["params"],
+            "nce_output": self.nce_output.init(
+                {"params": jax.random.fold_in(r_itm, 1)}, h)["params"],
         }
 
     # ------------------------------------------------------------- encoding
@@ -192,6 +197,41 @@ class UC2ForPretraining:
         err = err * batch["masked_weight"][:, :, None]
         n = jnp.sum(batch["masked_weight"]) * pred.shape[-1]
         return jnp.sum(err), n
+
+    # -------------------------------------------------------------- MRM-NCE
+    def forward_mrm_nce(self, params, batch, deterministic=True, rngs=None,
+                        compute_loss=True):
+        """Masked-region contrastive objective (completes the reference's
+        unimplemented mrm-nce, model/model.py:1237): project masked-slot
+        hiddens to feature space; CE over [own target | other in-batch
+        targets | sampled negative features] by dot-product similarity.
+
+        Returns (loss_sum, n_slots, n_correct).
+        """
+        seq, _ = self._encode(params, batch, deterministic, rngs,
+                              img_masks=batch["img_masks"])
+        h = gather_slots(seq, batch["masked_pos"])          # [B, M, H]
+        pred = self.nce_output.apply({"params": params["nce_output"]}, h)
+        B, M, D = pred.shape
+        pred = pred.reshape(B * M, D).astype(jnp.float32)
+        w = batch["masked_weight"].reshape(B * M)
+        targets = batch["feat_targets"].reshape(B * M, D).astype(jnp.float32)
+        negs = batch["neg_feats"].astype(jnp.float32)       # [N, D]
+        cands = jnp.concatenate([targets, negs], axis=0)
+        logits = pred @ cands.T / self.nce_temp             # [BM, BM+N]
+        # padded slots are not valid candidates (their target rows are zero)
+        col_mask = jnp.concatenate(
+            [(1.0 - w) * -1e4, jnp.zeros(negs.shape[0])])
+        logits = logits + col_mask[None, :]
+        labels = jnp.arange(B * M)
+        # own column must stay a valid candidate even for padded slots
+        diag = jnp.einsum("nd,nd->n", pred, targets) / self.nce_temp
+        logits = logits.at[labels, labels].set(diag)
+        if not compute_loss:
+            return logits
+        loss = H.cross_entropy_with_logits(logits, labels, w)
+        correct = jnp.sum((jnp.argmax(logits, -1) == labels) * w)
+        return jnp.sum(loss), jnp.sum(w), correct
 
     # ----------------------------------------------------------------- MRC
     def forward_mrc(self, params, batch, kl: bool, deterministic=True,

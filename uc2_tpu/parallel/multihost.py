@@ -1,0 +1,75 @@
+"""Multi-host control-plane collectives.
+
+Reference: utils/distributed.py:150-230 — `all_gather_list` / `any_broadcast`
+serialize arbitrary Python objects into byte tensors with hand-rolled length
+headers over Horovod. Their TPU-native remaining uses are thin: the task
+schedule is already a pure function of the step (loader.py), and gradient
+sync is GSPMD's job. What's left is metric aggregation and eval-id gathering
+across hosts, built on jax.experimental.multihost_utils.
+
+On a single-process setup these degenerate to identity — tests exercise that
+path; multi-process behavior rides the documented jax collectives.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, List
+
+import numpy as np
+
+
+def process_count() -> int:
+    import jax
+    return jax.process_count()
+
+
+def process_index() -> int:
+    import jax
+    return jax.process_index()
+
+
+def all_gather_object(obj: Any, max_bytes: int = 1 << 20) -> List[Any]:
+    """Gather a picklable object from every host (reference all_gather_list,
+    utils/distributed.py:150-200: pickle → length-prefixed byte tensor →
+    allgather)."""
+    import jax
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+    payload = pickle.dumps(obj)
+    assert len(payload) + 8 <= max_bytes, "object too large; raise max_bytes"
+    buf = np.zeros(max_bytes, np.uint8)
+    buf[:8] = np.frombuffer(np.int64(len(payload)).tobytes(), np.uint8)
+    buf[8:8 + len(payload)] = np.frombuffer(payload, np.uint8)
+    gathered = multihost_utils.process_allgather(buf)
+    out = []
+    for row in np.asarray(gathered).reshape(jax.process_count(), max_bytes):
+        n = int(np.frombuffer(row[:8].tobytes(), np.int64)[0])
+        out.append(pickle.loads(row[8:8 + n].tobytes()))
+    return out
+
+
+def broadcast_object(obj: Any, root: int = 0, max_bytes: int = 1 << 20) -> Any:
+    """Broadcast a picklable object from `root` (reference any_broadcast,
+    utils/distributed.py:203-230)."""
+    import jax
+    if jax.process_count() == 1:
+        return obj
+    from jax.experimental import multihost_utils
+    if jax.process_index() == root:
+        payload = pickle.dumps(obj)
+        buf = np.zeros(max_bytes, np.uint8)
+        buf[:8] = np.frombuffer(np.int64(len(payload)).tobytes(), np.uint8)
+        buf[8:8 + len(payload)] = np.frombuffer(payload, np.uint8)
+    else:
+        buf = np.zeros(max_bytes, np.uint8)
+    row = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    n = int(np.frombuffer(row[:8].tobytes(), np.int64)[0])
+    return pickle.loads(row[8:8 + n].tobytes())
+
+
+def sum_across_hosts(value: float) -> float:
+    """Scalar metric reduction (reference sums all_gather_list results,
+    pretrain.py:707-709)."""
+    return float(sum(all_gather_object(float(value))))

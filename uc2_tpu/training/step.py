@@ -74,6 +74,11 @@ def make_loss_fn(model: UC2ForPretraining, task: str,
             s, n = model.forward_mrfr(params, batch, det, rngs)
             loss = s / jnp.maximum(n, 1.0)
             return loss, {"loss": loss, "n_units": n}
+        if base == "mrm-nce":
+            s, n, correct = model.forward_mrm_nce(params, batch, det, rngs)
+            loss = s / jnp.maximum(n, 1.0)
+            return loss, {"loss": loss, "n_units": n,
+                          "acc": correct / jnp.maximum(n, 1.0)}
         if base in ("mrc", "mrc-kl"):
             s, n = model.forward_mrc(params, batch, kl=(base == "mrc-kl"),
                                      deterministic=det, rngs=rngs)
@@ -203,6 +208,9 @@ def make_eval_step(model: UC2ForPretraining, task: str,
             w = batch["masked_weight"][:, :, None]
             loss = jnp.sum(jnp.square(pred - batch["feat_targets"]) * w)
             return {"loss": loss, "n_feat": jnp.sum(batch["masked_weight"])}
+        if base == "mrm-nce":
+            s, n, correct = model.forward_mrm_nce(params, batch, True, None)
+            return {"loss": s, "n_correct": correct, "n_feat": n}
         if base in ("mrc", "mrc-kl"):
             logits = model.forward_mrc(params, batch, kl="kl" in base,
                                        deterministic=True, rngs=None,
