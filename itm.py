@@ -27,7 +27,8 @@ def main(opts):
     from uc2_tpu.data.db import DetectFeatDb, TxtTokDb
     from uc2_tpu.data.loader import TaskLoader
     from uc2_tpu.data import datasets as D
-    from uc2_tpu.evalu.retrieval import full_retrieval_eval, mine_hard_negatives
+    from uc2_tpu.evalu.retrieval import (full_retrieval_eval,
+                                         mine_hard_negatives, quick_validate)
     from uc2_tpu.models.finetune import UC2ForImageTextRetrieval
     from uc2_tpu.models import convert
     from uc2_tpu.parallel import mesh as M
@@ -151,12 +152,22 @@ def main(opts):
 
             if opts.valid_steps and global_step % opts.valid_steps == 0 \
                     and val_txt_db is not None:
-                log = full_retrieval_eval(
-                    model, state.params, val_txt_db, val_img_db,
-                    opts.max_txt_len + 2, opts.max_bb,
-                    batch_size=opts.eval_batch_size,
-                    txt_ids=val_txt_db.ids[:opts.eval_txt_limit]
-                    if opts.eval_txt_limit else None)
+                if opts.full_val:
+                    # all-pairs matrix (reference evaluate(), itm.py:492-538)
+                    log = full_retrieval_eval(
+                        model, state.params, val_txt_db, val_img_db,
+                        opts.max_txt_len + 2, opts.max_bb,
+                        batch_size=opts.eval_batch_size,
+                        txt_ids=val_txt_db.ids[:opts.eval_txt_limit]
+                        if opts.eval_txt_limit else None)
+                else:
+                    # rank GT among a 400-image pool (reference validate(),
+                    # itm.py:448-489)
+                    log = quick_validate(
+                        model, state.params, val_txt_db, val_img_db,
+                        opts.max_txt_len + 2, opts.max_bb,
+                        n_txts=opts.eval_txt_limit or 64,
+                        batch_size=opts.eval_batch_size)
                 LOGGER.info("validation R@K: %s",
                             {k: round(v, 4) for k, v in log.items()})
                 TB_LOGGER.log_scalar_dict(log, prefix="val")
@@ -221,6 +232,9 @@ def build_parser():
                    help="examples (groups × sample_size) per step")
     p.add_argument("--eval_batch_size", type=int, default=64)
     p.add_argument("--eval_txt_limit", type=int, default=0)
+    p.add_argument("--full_val", action="store_true",
+                   help="full score-matrix validation instead of the "
+                        "400-image quick val")
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--separate_lr", action="store_true")
     p.add_argument("--xlmr_lr", type=float, default=1e-7)

@@ -25,6 +25,46 @@ from uc2_tpu.data.db import DetectFeatDb, SoftLabelDb, TxtTokDb, get_ids_and_len
 from uc2_tpu.data.labels import LabelVocab
 
 
+class ConcatDataset:
+    """Concatenation of same-task datasets with merged lens (reference
+    ConcatDatasetWithLens, data/data.py:344-360)."""
+
+    def __init__(self, datasets: Sequence["VLDataset"]):
+        self.datasets = list(datasets)
+        self.lens = [l for d in self.datasets for l in d.lens]
+        self.txt_lens = [l for d in self.datasets for l in d.txt_lens]
+        self._offsets = []
+        off = 0
+        for d in self.datasets:
+            self._offsets.append(off)
+            off += len(d)
+        self._total = off
+        self.pad_token_id = self.datasets[0].pad_token_id
+        self.slot_target_keys = self.datasets[0].slot_target_keys
+
+    def __len__(self):
+        return self._total
+
+    def _route(self, i):
+        for k in range(len(self.datasets) - 1, -1, -1):
+            if i >= self._offsets[k]:
+                return self.datasets[k], i - self._offsets[k]
+        raise IndexError(i)
+
+    def get_example(self, i, rng):
+        ds, j = self._route(i)
+        return ds.get_example(j, rng)
+
+    def new_epoch(self, rng):
+        for d in self.datasets:
+            if hasattr(d, "new_epoch"):
+                d.new_epoch(rng)
+        self.lens = [l for d in self.datasets for l in d.lens]
+
+    def collate(self, examples, spec):
+        return self.datasets[0].collate(examples, spec)
+
+
 class VLDataset:
     """Base: paired text + image-region access (reference
     DetectFeatTxtTokDataset, data/data.py:317-341)."""

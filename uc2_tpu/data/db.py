@@ -160,6 +160,57 @@ class TxtTokDb:
             return json.load(f)
 
 
+class RoutingImageDb:
+    """Routes image lookups across several DetectFeatDbs by filename
+    substring — the COCO-CN split-spanning case, where text dbs reference
+    images living in either the train2014 or val2014 feature db (reference
+    DetectFeatTxtTokDatasetCutDown._get_img_feat, data/data.py:308-315, and
+    the COCO-CN ItmRank/Eval variants, data/itm.py:363-506)."""
+
+    def __init__(self, routes: Dict[str, DetectFeatDb],
+                 default: Optional[DetectFeatDb] = None):
+        self.routes = routes
+        self.default = default
+
+    def _db(self, fname: str) -> DetectFeatDb:
+        for pat, db in self.routes.items():
+            if pat in fname:
+                return db
+        if self.default is not None:
+            return self.default
+        raise KeyError(f"no image db route for {fname}")
+
+    def __getitem__(self, fname: str):
+        return self._db(fname)[fname]
+
+    def __contains__(self, fname: str):
+        try:
+            return fname in self._db(fname)
+        except KeyError:
+            return False
+
+    def get_dump(self, fname: str):
+        return self._db(fname).get_dump(fname)
+
+    @property
+    def name2nbb(self):
+        class _Merged:
+            def __init__(self, outer):
+                self.outer = outer
+
+            def __getitem__(self, fname):
+                return self.outer._db(fname).name2nbb[fname]
+
+            def keys(self):
+                out = []
+                for db in self.outer.routes.values():
+                    out.extend(db.name2nbb.keys())
+                if self.outer.default is not None:
+                    out.extend(self.outer.default.name2nbb.keys())
+                return out
+        return _Merged(self)
+
+
 class ImageDbGroup:
     """Cache of open DetectFeatDbs keyed by path (reference ImageLmdbGroup,
     data/data.py:398-413)."""

@@ -102,6 +102,45 @@ def full_retrieval_eval(model, params, txt_db, img_db, txt_len: int,
     return itm_eval(m, txt_ids, img_ids, txt2img, img2txts)
 
 
+def quick_validate(model, params, txt_db, img_db, txt_len: int, num_bb: int,
+                   n_imgs: int = 400, n_txts: int = 64,
+                   batch_size: int = 64, seed: int = 0) -> Dict[str, float]:
+    """Rank the GT image among a fixed pool of `n_imgs` images for a sample
+    of texts (reference validate(), itm.py:448-489 — 1 text vs 400-image
+    minibatch). Cheaper than the full score matrix; used between train
+    steps."""
+    rng = np.random.default_rng(seed)
+    txt2img = txt_db.txt2img
+    all_imgs = sorted({txt2img[t] for t in txt_db.ids})
+    pool = list(all_imgs)
+    if len(pool) > n_imgs:
+        pool = [pool[i] for i in
+                rng.choice(len(pool), n_imgs, replace=False)]
+    txt_ids = list(txt_db.ids)
+    if len(txt_ids) > n_txts:
+        txt_ids = [txt_ids[i] for i in
+                   rng.choice(len(txt_ids), n_txts, replace=False)]
+    txt_ids = [t for t in txt_ids if txt2img[t] in set(pool)] or txt_ids[:1]
+    for t in txt_ids:
+        if txt2img[t] not in set(pool):
+            pool[0] = txt2img[t]
+    m = score_matrix(model, params, txt_db, img_db, txt_ids, pool,
+                     txt_len, num_bb, batch_size)
+    img2j = {im: j for j, im in enumerate(pool)}
+    ranks = []
+    for i, t in enumerate(txt_ids):
+        gt = img2j.get(txt2img[t])
+        if gt is None:
+            continue
+        rank = int((m[i] > m[i, gt]).sum())
+        ranks.append(rank)
+    ranks = np.asarray(ranks)
+    return {"img_r1": float((ranks < 1).mean()),
+            "img_r5": float((ranks < 5).mean()),
+            "img_r10": float((ranks < 10).mean()),
+            "med_rank": float(np.median(ranks) + 1)}
+
+
 def mine_hard_negatives(model, params, txt_db, img_db, txt_len: int,
                         num_bb: int, hard_neg_size: int = 30,
                         batch_size: int = 64,
