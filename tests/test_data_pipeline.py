@@ -136,7 +136,8 @@ def test_mlm_dataset(corpus):
         spec = BUCKETS[batch["_bucket"]]
         assert batch["input_ids"].shape == (spec.batch_size, spec.txt_len)
         assert batch["attn_mask"].shape == (spec.batch_size, spec.joint_len)
-        assert batch["masked_pos"].shape == (spec.batch_size, spec.max_masked)
+        M = ds.slot_budget(spec.txt_len, spec.num_bb)
+        assert batch["masked_pos"].shape == (spec.batch_size, M)
         w = batch["masked_weight"]
         assert (w.sum(1) >= 1).all()
         # masked positions point into the text block

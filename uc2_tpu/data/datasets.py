@@ -71,6 +71,19 @@ class VLDataset:
 
     pad_token_id = 1
     slot_target_keys: Sequence[str] = ()
+    # which blocks this task's prediction slots cover; sizes the static
+    # masked-slot arrays (M). 15% masking ⇒ 0.35×len covers the binomial
+    # tail to ~1e-6; oversizing M is expensive for full-vocab LM-head tasks
+    # (logits are [B·M, 250002]).
+    mask_span = None  # "txt" | "img" | "joint" | None
+
+    @classmethod
+    def slot_budget(cls, txt_len: int, num_bb: int) -> int:
+        span = {"txt": txt_len, "img": num_bb,
+                "joint": txt_len + num_bb}.get(cls.mask_span, 0)
+        if not span:
+            return 0
+        return max(8, -(-int(span * 0.35) // 8) * 8)
 
     def __init__(self, txt_db: TxtTokDb, img_db: DetectFeatDb):
         self.txt_db = txt_db
@@ -102,6 +115,7 @@ class MlmDataset(VLDataset):
     """Plain MLM over caption + image (reference MlmDataset,
     data/mlm.py:680-758)."""
 
+    mask_span = "txt"
     def __init__(self, txt_db, img_db, mask_prob: float = 0.15):
         super().__init__(txt_db, img_db)
         self.mask_prob = mask_prob
@@ -125,6 +139,7 @@ class TlmDataset(VLDataset):
     (data/mlm.py:420-432): start at 2, +1 per token, reset at token id 0.
     """
 
+    mask_span = "txt"
     def __init__(self, txt_db, img_db, comasking_mode: str = "random",
                  text_only: bool = False, mask_prob: float = 0.15):
         super().__init__(txt_db, img_db)
@@ -168,6 +183,7 @@ class VmlmDataset(VLDataset):
     VmlmDataset data/mlm.py:490-531; MmxlmDataset :439-488 additionally
     masks text)."""
 
+    mask_span = "img"
     def __init__(self, txt_db, img_db, mask_prob: float = 0.15,
                  label_vocab: Optional[LabelVocab] = None, lang: str = "en",
                  mask_text: bool = False):
@@ -197,6 +213,8 @@ class VmlmDataset(VLDataset):
 
 
 class MmxlmDataset(VmlmDataset):
+    mask_span = "joint"
+
     def __init__(self, txt_db, img_db, mask_prob=0.15, label_vocab=None,
                  lang="en"):
         super().__init__(txt_db, img_db, mask_prob, label_vocab, lang,
@@ -211,6 +229,7 @@ class VmlmSoftDataset(VLDataset):
     used when given, matching the img_token_soft_label DBs in the reference
     config."""
 
+    mask_span = "img"
     slot_target_keys = ("txt_soft_targets", "label_targets")
 
     def __init__(self, txt_db, img_db, mask_prob: float = 0.15,
@@ -270,6 +289,8 @@ class VmlmSoftDataset(VLDataset):
 
 
 class MmxlmSoftDataset(VmlmSoftDataset):
+    mask_span = "joint"
+
     def __init__(self, txt_db, img_db, mask_prob=0.15, label_vocab=None,
                  soft_label_db=None):
         super().__init__(txt_db, img_db, mask_prob, label_vocab,
@@ -281,6 +302,7 @@ class MrfrDataset(VLDataset):
     """Masked-region feature regression (reference MrfrDataset,
     data/mrm.py:42-71)."""
 
+    mask_span = "img"
     slot_target_keys = ("feat_targets",)
 
     def __init__(self, txt_db, img_db, mask_prob: float = 0.15):
@@ -301,6 +323,7 @@ class MrcDataset(VLDataset):
     """Masked-region classification over 1601 detector classes (reference
     MrcDataset, data/mrm.py:221-251). ``kl`` handled at the loss."""
 
+    mask_span = "img"
     slot_target_keys = ("label_targets",)
 
     def __init__(self, txt_db, img_db, mask_prob: float = 0.15):

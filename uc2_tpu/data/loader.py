@@ -31,6 +31,13 @@ class TaskLoader:
                  seed: int = 0, drop_last: bool = True, shuffle: bool = True):
         self.name = name
         self.dataset = dataset
+        # size the masked-slot arrays for THIS task's mask span (txt / img /
+        # joint / none) — oversized M multiplies the [B·M, vocab] LM-head
+        # logits cost for nothing
+        if hasattr(dataset, "slot_budget"):
+            buckets = [BucketSpec(b.txt_len, b.num_bb, b.batch_size,
+                                  dataset.slot_budget(b.txt_len, b.num_bb))
+                       for b in buckets]
         self.buckets = list(buckets)
         self.seed = seed
         self.drop_last = drop_last
