@@ -105,6 +105,14 @@ class VLDataset:
     def example_record(self, i: int) -> Dict:
         return self.txt_db[self.ids[i]]
 
+    def batch_fnames(self, indices: Sequence[int]) -> List[str]:
+        """Image files a batch will touch (for native-thread-pool prefetch)."""
+        return [self.txt2img[self.ids[i]] for i in indices]
+
+    def prefetch(self, indices: Sequence[int]):
+        if hasattr(self.img_db, "prefetch"):
+            self.img_db.prefetch(self.batch_fnames(indices))
+
     def collate(self, examples: List[Dict], spec: BucketSpec):
         return collate_batch(examples, spec, self.pad_token_id,
                              self.slot_target_keys)
@@ -456,6 +464,11 @@ class ItmDataset(VLDataset):
             self.train_imgs.append(fname)
             lens.append(self.txt_lens[i] + self.img_db.name2nbb[fname])
         self.lens = lens
+
+    def batch_fnames(self, indices):
+        if self.train_imgs is None:
+            return super().batch_fnames(indices)
+        return [self.train_imgs[i] for i in indices]
 
     def get_example(self, i, rng):
         assert self.train_imgs is not None, "call new_epoch(rng) first"

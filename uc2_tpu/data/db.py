@@ -45,6 +45,7 @@ class DetectFeatDb:
         self.conf_th = conf_th
         self.max_bb = max_bb
         self.min_bb = min_bb
+        self._cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
         self.db = StoreReader(os.path.join(img_dir, "feat.u2s"), native=native)
         if conf_th == -1:
             from collections import defaultdict
@@ -89,15 +90,35 @@ class DetectFeatDb:
                 if np.asarray(v).dtype == np.float16 else np.asarray(v)[:nbb]
                 for k, v in rec.items()}
 
-    def __getitem__(self, fname: str) -> Tuple[np.ndarray, np.ndarray]:
-        """(features [nbb, D] fp32, bb7 [nbb, 7]) — bb7 appends w*h to the
-        6-d normalized bbox (reference data/data.py:338-340)."""
-        rec = self.db[fname]
+    def _decode(self, rec, fname: str) -> Tuple[np.ndarray, np.ndarray]:
         nbb = self.name2nbb[fname]
         feat = np.asarray(rec["features"])[:nbb].astype(np.float32)
         bb = np.asarray(rec["norm_bb"])[:nbb].astype(np.float32)
         bb7 = np.concatenate([bb, bb[:, 4:5] * bb[:, 5:6]], axis=-1)
         return feat, bb7
+
+    def prefetch(self, fnames: Sequence[str], cache_cap: int = 4096):
+        """Batch-fetch + decode a set of images through the native store's
+        thread pool (csrc/u2s.cpp u2s_batch_get) into a bounded cache —
+        the input pipeline's analog of the reference's DataLoader worker
+        processes (pretrain.py:90, n_workers=4)."""
+        todo = [f for f in dict.fromkeys(fnames) if f not in self._cache]
+        if not todo:
+            return
+        recs = self.db.batch_get(todo)
+        for f, rec in zip(todo, recs):
+            if rec is not None:
+                self._cache[f] = self._decode(rec, f)
+        while len(self._cache) > cache_cap:
+            self._cache.pop(next(iter(self._cache)))
+
+    def __getitem__(self, fname: str) -> Tuple[np.ndarray, np.ndarray]:
+        """(features [nbb, D] fp32, bb7 [nbb, 7]) — bb7 appends w*h to the
+        6-d normalized bbox (reference data/data.py:338-340)."""
+        hit = self._cache.get(fname)
+        if hit is not None:
+            return hit
+        return self._decode(self.db[fname], fname)
 
 
 class SoftLabelDb:

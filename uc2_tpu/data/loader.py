@@ -75,6 +75,8 @@ class TaskLoader:
                 self._iter = None
         rng = np.random.default_rng(
             (self.seed, self._epoch, indices[0], len(indices)))
+        if hasattr(self.dataset, "prefetch"):
+            self.dataset.prefetch(indices)
         examples = []
         for i in indices:
             ex = self.dataset.get_example(i, rng)
