@@ -66,6 +66,43 @@ class ModelSaver:
                       opt_state)
 
 
+class OrbaxCheckpointer:
+    """Sharded/async checkpointing via orbax for multi-host runs where
+    pulling the full tree to one host (save_tree) is impractical.
+
+    Same two-tier role as ModelSaver/TrainingRestorer; backend is
+    orbax.checkpoint.StandardCheckpointer (handles jax.Array shards,
+    atomic finalization, and restore-with-sharding).
+    """
+
+    def __init__(self, directory: str):
+        import orbax.checkpoint as ocp
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def save(self, step: int, tree: Any, force: bool = False):
+        path = os.path.join(self.directory, f"step_{step}")
+        self._ckptr.save(path, tree, force=force)
+
+    def restore(self, step: int, target: Any) -> Any:
+        path = os.path.join(self.directory, f"step_{step}")
+        return self._ckptr.restore(path, target=target)
+
+    def latest_step(self) -> Optional[int]:
+        steps = []
+        for name in os.listdir(self.directory):
+            if name.startswith("step_"):
+                try:
+                    steps.append(int(name.split("_")[1]))
+                except ValueError:
+                    pass
+        return max(steps) if steps else None
+
+    def wait(self):
+        self._ckptr.wait_until_finished()
+
+
 class TrainingRestorer:
     """Preemption-safe restorer with two-file rotation + hps check
     (reference utils/save.py:164-213)."""
