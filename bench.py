@@ -14,9 +14,15 @@ loop). Prints ONE json line.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent compile cache: repeated driver runs skip the slow remote compile
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
 
 V100_BASELINE_PAIRS_PER_SEC = 600.0
 
