@@ -14,15 +14,13 @@ loop). Prints ONE json line.
 """
 
 import json
-import os
 import time
 
 import numpy as np
 
-# persistent compile cache: repeated driver runs skip the slow remote compile
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
+# NOTE: do NOT enable JAX_COMPILATION_CACHE_DIR here — the axon PJRT tunnel
+# in this image hangs on executable serialization (observed: >16 min spin on
+# a program that compiles in ~3 min uncached).
 
 V100_BASELINE_PAIRS_PER_SEC = 600.0
 
