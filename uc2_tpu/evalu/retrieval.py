@@ -40,8 +40,17 @@ def load_image_gallery(img_db, img_ids: Sequence[str], num_bb: int):
 def score_matrix(model, params, txt_db, img_db,
                  txt_ids: Sequence[str], img_ids: Sequence[str],
                  txt_len: int, num_bb: int, batch_size: int = 64,
-                 score_fn=None) -> np.ndarray:
-    """[n_txt, n_img] rank scores through the joint encoder."""
+                 score_fn=None,
+                 nbb_buckets: Sequence[int] = (36, 64)) -> np.ndarray:
+    """[n_txt, n_img] rank scores through the joint encoder.
+
+    The gallery is split into region-count buckets (≤36, ≤64, ≤num_bb by
+    default): most images carry far fewer than max_bb regions (conf_th
+    thresholding, reference data/data.py:31-34), so padding everything to
+    num_bb would waste most of the attention/projection FLOPs. One compiled
+    program per bucket; images arrive pre-sorted by nbb (the reference
+    sorts for the same reason, data/itm.py:905).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -51,36 +60,52 @@ def score_matrix(model, params, txt_db, img_db,
 
     feats, bb7, nbbs = load_image_gallery(img_db, img_ids, num_bb)
     n_img = len(img_ids)
-    pad = (-n_img) % batch_size
-    if pad:
-        feats = np.concatenate([feats, np.zeros_like(feats[:pad])])
-        bb7 = np.concatenate([bb7, np.zeros_like(bb7[:pad])])
-        nbbs = np.concatenate([nbbs, np.zeros(pad, np.int32)])
-    n_tiles = feats.shape[0] // batch_size
-    region_mask = (np.arange(num_bb)[None, :]
-                   < nbbs[:, None]).astype(np.int32)
-
+    bucket_edges = [b for b in sorted(nbb_buckets) if b < num_bb] + [num_bb]
+    img_bucket = np.searchsorted(np.asarray(bucket_edges), nbbs)
     out = np.zeros((len(txt_ids), n_img), np.float32)
-    for i, tid in enumerate(txt_ids):
+
+    # per-text cached token rows (tiled to batch_size inside each bucket)
+    txt_rows = []
+    for tid in txt_ids:
         rec = txt_db[tid]
         ids = np.asarray(txt_db.combine_inputs(rec["input_ids"]))[:txt_len]
-        row_ids = np.full((batch_size, txt_len), 1, np.int32)  # pad id 1
-        row_ids[:, :len(ids)] = ids
-        txt_mask = np.zeros((batch_size, txt_len), np.int32)
-        txt_mask[:, :len(ids)] = 1
-        for t in range(n_tiles):
-            sl = slice(t * batch_size, (t + 1) * batch_size)
-            batch = {
-                "input_ids": jnp.asarray(row_ids),
-                "img_feat": jnp.asarray(feats[sl]),
-                "img_pos_feat": jnp.asarray(bb7[sl]),
-                "attn_mask": jnp.asarray(
-                    np.concatenate([txt_mask, region_mask[sl]], axis=1)),
-            }
-            s = np.asarray(score_fn(params, batch))
-            lo, hi = t * batch_size, min((t + 1) * batch_size, n_img)
-            if lo < n_img:
-                out[i, lo:hi] = s[:hi - lo]
+        txt_rows.append(ids)
+
+    for bi, edge in enumerate(bucket_edges):
+        sel = np.flatnonzero(img_bucket == bi)
+        if sel.size == 0:
+            continue
+        nb = edge
+        f = feats[sel][:, :nb]
+        b7 = bb7[sel][:, :nb]
+        rmask = (np.arange(nb)[None, :]
+                 < nbbs[sel][:, None]).astype(np.int32)
+        pad = (-sel.size) % batch_size
+        if pad:
+            f = np.concatenate([f, np.zeros_like(f[:pad])])
+            b7 = np.concatenate([b7, np.zeros_like(b7[:pad])])
+            rmask = np.concatenate(
+                [rmask, np.zeros((pad, nb), np.int32)])
+        n_tiles = f.shape[0] // batch_size
+        for i, ids in enumerate(txt_rows):
+            row_ids = np.full((batch_size, txt_len), 1, np.int32)  # pad id 1
+            row_ids[:, :len(ids)] = ids
+            txt_mask = np.zeros((batch_size, txt_len), np.int32)
+            txt_mask[:, :len(ids)] = 1
+            for t in range(n_tiles):
+                sl = slice(t * batch_size, (t + 1) * batch_size)
+                batch = {
+                    "input_ids": jnp.asarray(row_ids),
+                    "img_feat": jnp.asarray(f[sl]),
+                    "img_pos_feat": jnp.asarray(b7[sl]),
+                    "attn_mask": jnp.asarray(
+                        np.concatenate([txt_mask, rmask[sl]], axis=1)),
+                }
+                s = np.asarray(score_fn(params, batch))
+                lo = t * batch_size
+                hi = min(lo + batch_size, sel.size)
+                if lo < sel.size:
+                    out[i, sel[lo:hi]] = s[:hi - lo]
     return out
 
 
