@@ -60,7 +60,14 @@ def build_datasets(opts, which: str = "train"):
                 key = f"{task}_{name}" + (f"_{i}" if len(txt_dbs) > 1 else "")
                 if task in ("vmlm", "mmxlm", "vmlm-soft", "mmxlm-soft") \
                         and label_vocab is None:
-                    label_vocab = LabelVocab()
+                    n_cls = getattr(opts, "label_classes", 1601)
+                    if n_cls != 1601:
+                        # reduced detector vocabulary (tests / custom data)
+                        label_vocab = LabelVocab(
+                            words={"en": [f"class{i}"
+                                          for i in range(n_cls - 1)]})
+                    else:
+                        label_vocab = LabelVocab()
                     if label_vocab.source == "hash":
                         LOGGER.warning(
                             "LabelVocab using hash-fallback token ids (no "
@@ -317,6 +324,8 @@ def build_parser():
     p.add_argument("--mrm_prob", type=float, default=0.15)
     p.add_argument("--itm_neg_prob", type=float, default=0.5)
     p.add_argument("--nce_neg_size", type=int, default=128)
+    p.add_argument("--label_classes", type=int, default=1601,
+                   help="detector label vocabulary size (tests may reduce)")
     p.add_argument("--itm_ot_lambda", type=float, default=0.0)
     p.add_argument("--ot_pos_only", action="store_true")
     p.add_argument("--comasking_mode", type=str, default="random",

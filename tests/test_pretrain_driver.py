@@ -64,6 +64,35 @@ def test_pretrain_end_to_end(corpus, model_config, tmp_path):
     assert "loss/" in scalars and "perf/ex_per_s" in scalars
 
 
+def test_pretrain_tlm_and_soft(corpus, model_config, tmp_path,
+                               tmp_path_factory):
+    """tlm (paired co-masking) + vmlm-soft through the full driver."""
+    import pretrain
+    paired = synth_corpus(str(tmp_path_factory.mktemp("paired")), n_imgs=8,
+                          txt_per_img=2, paired=True, min_bb=4, max_bb=10,
+                          img_dim=16, n_classes=11, seed=8, max_words=5,
+                          vocab=512)
+    argv = [
+        "--model_config", model_config,
+        "--output_dir", str(tmp_path / "out2"),
+        "--train_datasets", json.dumps([
+            {"name": "pair_de", "language": "en",
+             "db": [paired["txt_db"]], "img": [paired["img_db"]],
+             "tasks": ["tlm", "tlm-ni"], "mix_ratio": [1, 1]},
+            {"name": "synth_en", "language": "en",
+             "db": [corpus["txt_db"]], "img": [corpus["img_db"]],
+             "tasks": ["vmlm-soft", "mrc"], "mix_ratio": [1, 1]}]),
+        "--max_txt_len", "24", "--max_bb", "10", "--min_bb", "4",
+        "--train_batch_size", "256", "--num_train_steps", "4",
+        "--label_classes", "11",
+        "--warmup_steps", "1", "--valid_steps", "0", "--save_steps", "4",
+        "--log_steps", "2", "--dtype", "float32", "--seed", "0",
+    ]
+    opts = pretrain.parse_with_config(pretrain.build_parser(), argv)
+    state = pretrain.main(opts)
+    assert int(state.step) == 4
+
+
 def test_pretrain_resume(corpus, model_config, tmp_path):
     """Kill at step 6 → restart → restorer resumes past step 6."""
     state, opts = run_driver(corpus, model_config, tmp_path)
