@@ -34,7 +34,7 @@ log("opt init done")
 def grad_step(p, b, key):
     (loss, m), g = jax.value_and_grad(lambda pp: lf(pp, b, key), has_aux=True)(p)
     return g, loss
-@jax.jit
+@__import__("functools").partial(jax.jit, donate_argnums=(0,1,2))
 def apply_step(g, opt_state, p):
     updates, opt_state = tx.update(g, opt_state, p)
     return optax.apply_updates(p, updates), opt_state
@@ -42,12 +42,13 @@ t0=time.time()
 g, loss = grad_step(params, batch, jax.random.PRNGKey(0)); float(loss)
 log("grad compile+first:", round(time.time()-t0,1))
 t0=time.time()
-params2, opt_state = apply_step(g, opt_state, params)
-_ = float(jax.tree_util.tree_leaves(params2)[0].ravel()[0])
+params, opt_state = apply_step(g, opt_state, params)
+_ = float(jax.tree_util.tree_leaves(params)[0].ravel()[0])
 log("apply compile+first:", round(time.time()-t0,1))
 n=10
 t0=time.perf_counter()
 p, s = params, opt_state
+del params, opt_state
 for i in range(n):
     g, loss = grad_step(p, batch, jax.random.PRNGKey(i))
     p, s = apply_step(g, s, p)
