@@ -183,10 +183,29 @@ def main(opts):
         def get_step_fn(task):
             base = task.split("_")[0]
             if base not in steps:
-                steps[base] = jax.jit(make_train_step(
-                    model, base, tx, valid_ids=valid_ids,
-                    itm_ot_lambda=opts.itm_ot_lambda,
-                    ot_pos_only=opts.ot_pos_only))
+                if opts.split_step:
+                    # two smaller programs (see make_split_train_step)
+                    from uc2_tpu.training.step import (TrainState,
+                                                       make_split_train_step)
+                    g, a = make_split_train_step(
+                        model, base, tx, valid_ids=valid_ids,
+                        itm_ot_lambda=opts.itm_ot_lambda,
+                        ot_pos_only=opts.ot_pos_only)
+                    gj = jax.jit(g)
+                    aj = jax.jit(a, donate_argnums=(0, 1, 2))
+
+                    def split(state, batch, rng, gj=gj, aj=aj):
+                        grads, metrics = gj(state.params, batch, rng)
+                        params, opt_state = aj(grads, state.opt_state,
+                                               state.params)
+                        return TrainState(state.step + 1, params,
+                                          opt_state), metrics
+                    steps[base] = split
+                else:
+                    steps[base] = jax.jit(make_train_step(
+                        model, base, tx, valid_ids=valid_ids,
+                        itm_ot_lambda=opts.itm_ot_lambda,
+                        ot_pos_only=opts.ot_pos_only))
             return steps[base]
 
         task2loss = defaultdict(
@@ -350,6 +369,9 @@ def build_parser():
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--n_model", type=int, default=1,
                    help="tensor-parallel width of the mesh")
+    p.add_argument("--split_step", action="store_true",
+                   help="jit grad and optimizer-apply as separate programs "
+                        "(smaller compiles, donated buffers)")
     return p
 
 

@@ -169,6 +169,34 @@ def make_train_step(model: UC2ForPretraining, task: str,
     return step_fn
 
 
+def make_split_train_step(model: UC2ForPretraining, task: str,
+                          tx: optax.GradientTransformation,
+                          valid_ids: Optional[np.ndarray] = None,
+                          itm_ot_lambda: float = 0.1,
+                          ot_pos_only: bool = False):
+    """(grad_fn, apply_fn) as two separately-jittable programs.
+
+    Functionally identical to make_train_step but split at the grad/update
+    boundary: two smaller XLA programs (jit apply_fn with
+    donate_argnums=(0, 1, 2) for in-place updates). Exists because some
+    runtimes (this image's axon remote compiler) choke on the fused
+    program; also halves peak temp memory via donation.
+    """
+    loss_fn = make_loss_fn(model, task, valid_ids, itm_ot_lambda, ot_pos_only)
+
+    def grad_fn(params, batch, rng):
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch, rng)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return grads, metrics
+
+    def apply_fn(grads, opt_state, params):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    return grad_fn, apply_fn
+
+
 def make_eval_step(model: UC2ForPretraining, task: str,
                    valid_ids: Optional[np.ndarray] = None) -> Callable:
     """Validation forward: returns per-task metrics (loss + accuracy where
