@@ -14,8 +14,7 @@ Differences from the reference (TPU-first):
 
 from __future__ import annotations
 
-import copy
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 

@@ -12,11 +12,10 @@ falls back to a pure-Python mmap reader when the native build is unavailable.
 from __future__ import annotations
 
 import ctypes
-import json
 import mmap
 import os
 import struct
-from typing import Any, Dict, Iterable, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence
 
 import msgpack
 import numpy as np

@@ -15,7 +15,7 @@ gather because eval is embarrassingly data-parallel.
 from __future__ import annotations
 
 import json
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 

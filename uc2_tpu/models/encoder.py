@@ -26,7 +26,7 @@ checkpoint conversion (models/convert.py) is a mechanical rename.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ convert.init_rank_from_itm.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -19,7 +19,7 @@ import flax.linen as nn
 import numpy as np
 
 from uc2_tpu.config import UC2Config
-from uc2_tpu.models.encoder import Dense, LayerNorm, UC2Model, gelu
+from uc2_tpu.models.encoder import Dense, UC2Model, gelu
 from uc2_tpu.models import heads as H
 
 

@@ -15,7 +15,7 @@ the functional-JAX equivalent of the reference's parameter aliasing
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,9 +15,6 @@ fp16 end-to-end under apex O2; fp32 softmax only makes us *more* accurate).
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -19,7 +19,7 @@ matmuls MXU-shaped at global batch sizes DP alone couldn't reach.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import numpy as np

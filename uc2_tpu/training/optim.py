@@ -13,9 +13,8 @@ into the optax chain — same values, no mutation.
 
 from __future__ import annotations
 
-import math
 import re
-from typing import Any, Callable, Dict, Optional, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import jax.numpy as jnp
 import optax

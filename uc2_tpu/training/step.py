@@ -15,8 +15,7 @@ the reference's ``gradient_accumulation_steps`` without leaving the device.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ import json
 import os
 import re
 from collections import Counter
-from typing import Dict, Iterable, List, Tuple
+from typing import Dict, Iterable, List
 
 ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                       "assets", "ans2label")
