@@ -87,25 +87,34 @@ def score_matrix(model, params, txt_db, img_db,
             rmask = np.concatenate(
                 [rmask, np.zeros((pad, nb), np.int32)])
         n_tiles = f.shape[0] // batch_size
+        # ship the gallery bucket to the device ONCE; per-tile inputs are
+        # device slices (the reference re-copies features per minibatch,
+        # itm.py:516-538; at 2048-d fp32 that's ~50MB of H2D per tile)
+        f_dev = jnp.asarray(f)
+        b7_dev = jnp.asarray(b7)
+        rmask_dev = jnp.asarray(rmask)
         for i, ids in enumerate(txt_rows):
             row_ids = np.full((batch_size, txt_len), 1, np.int32)  # pad id 1
             row_ids[:, :len(ids)] = ids
             txt_mask = np.zeros((batch_size, txt_len), np.int32)
             txt_mask[:, :len(ids)] = 1
+            row_ids_dev = jnp.asarray(row_ids)
+            txt_mask_dev = jnp.asarray(txt_mask)
+            tile_scores = []
             for t in range(n_tiles):
                 sl = slice(t * batch_size, (t + 1) * batch_size)
                 batch = {
-                    "input_ids": jnp.asarray(row_ids),
-                    "img_feat": jnp.asarray(f[sl]),
-                    "img_pos_feat": jnp.asarray(b7[sl]),
-                    "attn_mask": jnp.asarray(
-                        np.concatenate([txt_mask, rmask[sl]], axis=1)),
+                    "input_ids": row_ids_dev,
+                    "img_feat": jax.lax.dynamic_slice_in_dim(
+                        f_dev, t * batch_size, batch_size),
+                    "img_pos_feat": jax.lax.dynamic_slice_in_dim(
+                        b7_dev, t * batch_size, batch_size),
+                    "attn_mask": jnp.concatenate(
+                        [txt_mask_dev, rmask_dev[sl]], axis=1),
                 }
-                s = np.asarray(score_fn(params, batch))
-                lo = t * batch_size
-                hi = min(lo + batch_size, sel.size)
-                if lo < sel.size:
-                    out[i, sel[lo:hi]] = s[:hi - lo]
+                tile_scores.append(score_fn(params, batch))
+            s = np.concatenate([np.asarray(x) for x in tile_scores])
+            out[i, sel] = s[:sel.size]
     return out
 
 
