@@ -34,6 +34,11 @@ def test_score_matrix_matches_direct(tmp_path):
                      Lt, Nb, batch_size=2)
     assert m.shape == (3, len(img_ids))
 
+    # bucket smaller than batch_size (regression: pad > bucket size)
+    m2 = score_matrix(model, params, txt_db, img_db, txt_ids, img_ids,
+                      Lt, Nb, batch_size=16, nbb_buckets=(5, 6))
+    np.testing.assert_allclose(m2, m, rtol=1e-4, atol=1e-4)
+
     # direct single-pair scoring for a few cells
     for (i, j) in [(0, 0), (1, 2), (2, len(img_ids) - 1)]:
         rec = txt_db[txt_ids[i]]

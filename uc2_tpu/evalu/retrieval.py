@@ -82,8 +82,12 @@ def score_matrix(model, params, txt_db, img_db,
                  < nbbs[sel][:, None]).astype(np.int32)
         pad = (-sel.size) % batch_size
         if pad:
-            f = np.concatenate([f, np.zeros_like(f[:pad])])
-            b7 = np.concatenate([b7, np.zeros_like(b7[:pad])])
+            # NB: zeros of explicit length — zeros_like(f[:pad]) silently
+            # truncates when pad > bucket size
+            f = np.concatenate(
+                [f, np.zeros((pad,) + f.shape[1:], f.dtype)])
+            b7 = np.concatenate(
+                [b7, np.zeros((pad,) + b7.shape[1:], b7.dtype)])
             rmask = np.concatenate(
                 [rmask, np.zeros((pad, nb), np.int32)])
         n_tiles = f.shape[0] // batch_size
