@@ -1,0 +1,59 @@
+"""NLVR2 and VE driver smoke tests (CPU)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from uc2_tpu.data.synth import synth_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    out = tmp_path_factory.mktemp("nlvr_corpus")
+    return synth_corpus(str(out), n_imgs=10, txt_per_img=1, min_bb=4,
+                        max_bb=8, img_dim=16, n_classes=11, seed=19,
+                        max_words=6, vocab=512)
+
+
+@pytest.fixture(scope="module")
+def model_config(tmp_path_factory):
+    path = tmp_path_factory.mktemp("cfg") / "tiny.json"
+    path.write_text(json.dumps({
+        "vocab_size": 512, "hidden_size": 32, "num_hidden_layers": 1,
+        "num_attention_heads": 2, "intermediate_size": 64,
+        "max_position_embeddings": 64, "img_dim": 16, "img_label_dim": 11,
+        "use_pallas_attention": False}))
+    return str(path)
+
+
+@pytest.mark.parametrize("fmt", ["triplet", "paired-attn"])
+def test_nlvr2_driver(corpus, model_config, tmp_path, fmt):
+    import nlvr2
+    pred_csv = str(tmp_path / f"preds_{fmt}.csv")
+    argv = [
+        "--model_config", model_config,
+        "--output_dir", str(tmp_path / f"out_{fmt}"),
+        "--train_txt_db", corpus["txt_db"],
+        "--train_img_db", corpus["img_db"],
+        "--fmt", fmt, "--pred_csv", pred_csv,
+        "--max_txt_len", "16", "--max_bb", "8", "--min_bb", "4",
+        "--train_batch_size", "4", "--num_train_steps", "2",
+        "--warmup_steps", "1", "--valid_steps", "2",
+        "--save_steps", "2", "--log_steps", "1",
+        "--dtype", "float32", "--seed", "0",
+    ]
+    opts = nlvr2.parse_with_config(nlvr2.build_parser(), argv)
+    state = nlvr2.main(opts)
+    assert int(state.step) == 2
+    rows = open(pred_csv).read().strip().splitlines()
+    assert rows and all("," in r for r in rows)
+    assert set(r.split(",")[1] for r in rows) <= {"true", "false"}
+
+
+def test_ve_driver_defaults():
+    import ve
+    p = ve.build_parser()
+    opts = p.parse_args(["--train_txt_db", "x", "--train_img_db", "y"])
+    assert opts.num_answer == 3
