@@ -37,39 +37,86 @@ def load_image_gallery(img_db, img_ids: Sequence[str], num_bb: int):
     return feats, bb7, nbbs
 
 
-def score_matrix(model, params, txt_db, img_db,
-                 txt_ids: Sequence[str], img_ids: Sequence[str],
-                 txt_len: int, num_bb: int, batch_size: int = 64,
-                 score_fn=None,
-                 nbb_buckets: Sequence[int] = (36, 64)) -> np.ndarray:
-    """[n_txt, n_img] rank scores through the joint encoder.
-
-    The gallery is split into region-count buckets (≤36, ≤64, ≤num_bb by
-    default): most images carry far fewer than max_bb regions (conf_th
-    thresholding, reference data/data.py:31-34), so padding everything to
-    num_bb would waste most of the attention/projection FLOPs. One compiled
-    program per bucket; images arrive pre-sorted by nbb (the reference
-    sorts for the same reason, data/itm.py:905).
-    """
+def _make_bucket_scorer(model):
+    """One jitted program scoring a chunk of texts against a whole gallery
+    bucket: lax.scan over texts × gallery tiles, so the host dispatches once
+    per (bucket, text-chunk) instead of once per (text, tile). The gallery
+    stays device-resident across the entire eval."""
     import jax
     import jax.numpy as jnp
 
-    if score_fn is None:
-        score_fn = jax.jit(
-            lambda p, b: model.scores(p, b, deterministic=True))
+    @jax.jit
+    def score_chunk(params, txt_ids_c, txt_mask_c, f_tiles, b7_tiles,
+                    rmask_tiles):
+        # txt_ids_c [T, Lt]; f_tiles [nt, B, nb, D]; rmask_tiles [nt, B, nb]
+        B = f_tiles.shape[1]
+
+        def per_text(_, txt):
+            ids, tmask = txt
+            row_ids = jnp.broadcast_to(ids[None], (B,) + ids.shape)
+            row_mask = jnp.broadcast_to(tmask[None], (B,) + tmask.shape)
+
+            def per_tile(__, tile):
+                f, b7, rm = tile
+                batch = {"input_ids": row_ids, "img_feat": f,
+                         "img_pos_feat": b7,
+                         "attn_mask": jnp.concatenate([row_mask, rm], 1)}
+                return __, model.scores(params, batch, deterministic=True)
+
+            _, s = jax.lax.scan(per_tile, 0, (f_tiles, b7_tiles,
+                                              rmask_tiles))
+            return _, s.reshape(-1)                      # [nt*B]
+
+        _, out = jax.lax.scan(per_text, 0, (txt_ids_c, txt_mask_c))
+        return out                                        # [T, nt*B]
+
+    return score_chunk
+
+
+def score_matrix(model, params, txt_db, img_db,
+                 txt_ids: Sequence[str], img_ids: Sequence[str],
+                 txt_len: int, num_bb: int, batch_size: int = 64,
+                 score_fn=None, nbb_buckets: Sequence[int] = (36, 64),
+                 txt_chunk: int = 8) -> np.ndarray:
+    """[n_txt, n_img] rank scores through the joint encoder.
+
+    TPU-native eval structure (vs the reference's per-text python loop,
+    itm.py:516-538):
+      * gallery split into region-count buckets (≤36, ≤64, ≤num_bb): most
+        images carry far fewer than max_bb regions, padding everything to
+        num_bb wastes most of the FLOPs (reference sorts by nbb for the
+        same reason, data/itm.py:905);
+      * gallery device-resident, one H2D per bucket;
+      * the text×tile loop runs inside ONE jitted scan per (bucket,
+        text-chunk) — host dispatch count drops from n_txt×n_tiles to
+        n_buckets×(n_txt/txt_chunk).
+    ``score_fn`` is accepted for API compatibility (unused by the scanned
+    path).
+    """
+    import jax.numpy as jnp
 
     feats, bb7, nbbs = load_image_gallery(img_db, img_ids, num_bb)
     n_img = len(img_ids)
+    n_txt = len(txt_ids)
     bucket_edges = [b for b in sorted(nbb_buckets) if b < num_bb] + [num_bb]
     img_bucket = np.searchsorted(np.asarray(bucket_edges), nbbs)
-    out = np.zeros((len(txt_ids), n_img), np.float32)
+    out = np.zeros((n_txt, n_img), np.float32)
 
-    # per-text cached token rows (tiled to batch_size inside each bucket)
-    txt_rows = []
-    for tid in txt_ids:
-        rec = txt_db[tid]
-        ids = np.asarray(txt_db.combine_inputs(rec["input_ids"]))[:txt_len]
-        txt_rows.append(ids)
+    # text rows, chunk-padded
+    txt_arr = np.full((n_txt, txt_len), 1, np.int32)  # pad id 1
+    txt_m = np.zeros((n_txt, txt_len), np.int32)
+    for i, tid in enumerate(txt_ids):
+        ids = np.asarray(txt_db.combine_inputs(
+            txt_db[tid]["input_ids"]))[:txt_len]
+        txt_arr[i, :len(ids)] = ids
+        txt_m[i, :len(ids)] = 1
+    tpad = (-n_txt) % txt_chunk
+    if tpad:
+        txt_arr = np.concatenate(
+            [txt_arr, np.full((tpad, txt_len), 1, np.int32)])
+        txt_m = np.concatenate([txt_m, np.zeros((tpad, txt_len), np.int32)])
+
+    scorer = _make_bucket_scorer(model)
 
     for bi, edge in enumerate(bucket_edges):
         sel = np.flatnonzero(img_bucket == bi)
@@ -82,8 +129,6 @@ def score_matrix(model, params, txt_db, img_db,
                  < nbbs[sel][:, None]).astype(np.int32)
         pad = (-sel.size) % batch_size
         if pad:
-            # NB: zeros of explicit length — zeros_like(f[:pad]) silently
-            # truncates when pad > bucket size
             f = np.concatenate(
                 [f, np.zeros((pad,) + f.shape[1:], f.dtype)])
             b7 = np.concatenate(
@@ -91,34 +136,17 @@ def score_matrix(model, params, txt_db, img_db,
             rmask = np.concatenate(
                 [rmask, np.zeros((pad, nb), np.int32)])
         n_tiles = f.shape[0] // batch_size
-        # ship the gallery bucket to the device ONCE; per-tile inputs are
-        # device slices (the reference re-copies features per minibatch,
-        # itm.py:516-538; at 2048-d fp32 that's ~50MB of H2D per tile)
-        f_dev = jnp.asarray(f)
-        b7_dev = jnp.asarray(b7)
-        rmask_dev = jnp.asarray(rmask)
-        for i, ids in enumerate(txt_rows):
-            row_ids = np.full((batch_size, txt_len), 1, np.int32)  # pad id 1
-            row_ids[:, :len(ids)] = ids
-            txt_mask = np.zeros((batch_size, txt_len), np.int32)
-            txt_mask[:, :len(ids)] = 1
-            row_ids_dev = jnp.asarray(row_ids)
-            txt_mask_dev = jnp.asarray(txt_mask)
-            tile_scores = []
-            for t in range(n_tiles):
-                sl = slice(t * batch_size, (t + 1) * batch_size)
-                batch = {
-                    "input_ids": row_ids_dev,
-                    "img_feat": jax.lax.dynamic_slice_in_dim(
-                        f_dev, t * batch_size, batch_size),
-                    "img_pos_feat": jax.lax.dynamic_slice_in_dim(
-                        b7_dev, t * batch_size, batch_size),
-                    "attn_mask": jnp.concatenate(
-                        [txt_mask_dev, rmask_dev[sl]], axis=1),
-                }
-                tile_scores.append(score_fn(params, batch))
-            s = np.concatenate([np.asarray(x) for x in tile_scores])
-            out[i, sel] = s[:sel.size]
+        f_tiles = jnp.asarray(f.reshape(n_tiles, batch_size, nb, -1))
+        b7_tiles = jnp.asarray(b7.reshape(n_tiles, batch_size, nb, 7))
+        rm_tiles = jnp.asarray(rmask.reshape(n_tiles, batch_size, nb))
+        for c0 in range(0, txt_arr.shape[0], txt_chunk):
+            chunk = slice(c0, c0 + txt_chunk)
+            s = np.asarray(scorer(params, jnp.asarray(txt_arr[chunk]),
+                                  jnp.asarray(txt_m[chunk]),
+                                  f_tiles, b7_tiles, rm_tiles))
+            hi = min(c0 + txt_chunk, n_txt)
+            if c0 < n_txt:
+                out[c0:hi][:, sel] = s[:hi - c0, :sel.size]
     return out
 
 
