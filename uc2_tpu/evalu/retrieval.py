@@ -41,9 +41,17 @@ def _make_bucket_scorer(model):
     """One jitted program scoring a chunk of texts against a whole gallery
     bucket: lax.scan over texts × gallery tiles, so the host dispatches once
     per (bucket, text-chunk) instead of once per (text, tile). The gallery
-    stays device-resident across the entire eval."""
+    stays device-resident across the entire eval.
+
+    Memoized per model instance — a fresh jit closure per call would
+    recompile every score_matrix invocation.
+    """
     import jax
     import jax.numpy as jnp
+
+    cached = getattr(model, "_bucket_scorer", None)
+    if cached is not None:
+        return cached
 
     @jax.jit
     def score_chunk(params, txt_ids_c, txt_mask_c, f_tiles, b7_tiles,
@@ -70,6 +78,7 @@ def _make_bucket_scorer(model):
         _, out = jax.lax.scan(per_text, 0, (txt_ids_c, txt_mask_c))
         return out                                        # [T, nt*B]
 
+    model._bucket_scorer = score_chunk
     return score_chunk
 
 
