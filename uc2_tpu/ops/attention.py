@@ -48,17 +48,50 @@ def _xla_attention(q, k, v, bias, dropout_rate=0.0, dropout_rng=None):
     return ctx.astype(v.dtype)
 
 
-def multi_head_attention(q, k, v, bias, dropout_rate: float = 0.0,
-                         dropout_rng=None, use_pallas: bool = True):
-    """Dispatch between the Pallas TPU kernel and the XLA fallback.
-
-    The Pallas path is used only for inference/no-dropout on TPU (dropout in
-    attention probs needs the XLA path; pretraining uses
-    attention_probs_dropout_prob=0.1 per reference config, and the kernel
-    supports training via its custom VJP once dropout_rate == 0).
+def _stock_flash_attention(q, k, v, bias):
+    """jax's tuned TPU flash-attention kernel
+    (jax.experimental.pallas.ops.tpu.flash_attention) with padding expressed
+    as segment ids. Padded keys get segment 0 vs valid 1 → masked with -inf;
+    numerically identical to the reference's -10000 additive mask (both
+    underflow to exactly 0 after the fp32 softmax shift).
     """
-    if use_pallas and _on_tpu() and dropout_rate == 0.0:
+    import jax.numpy as jnp
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, flash_attention as stock_fa)
+    B, L, n, d = q.shape
+    if L < 128:
+        return _xla_attention(q, k, v, bias)
+    # the kernel blocks sequence in 128s — pad L up (padded keys get segment
+    # 0 → masked; padded query rows are garbage and sliced off)
+    Lp = -(-L // 128) * 128
+    if Lp != L:
+        pad = [(0, 0), (0, Lp - L), (0, 0), (0, 0)]
+        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+    valid = (bias[:, 0, 0, :] >= -1.0).astype(jnp.int32)  # 1=valid, 0=pad
+    if Lp != L:
+        valid = jnp.pad(valid, [(0, 0), (0, Lp - L)])
+    seg = SegmentIds(q=valid, kv=valid)
+    out = stock_fa(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                   v.transpose(0, 2, 1, 3), segment_ids=seg,
+                   sm_scale=1.0 / (d ** 0.5))
+    return out.transpose(0, 2, 1, 3)[:, :L]
+
+
+def multi_head_attention(q, k, v, bias, dropout_rate: float = 0.0,
+                         dropout_rng=None, use_pallas=False):
+    """Dispatch between attention backends.
+
+    ``use_pallas``: False/"xla" → einsum path (default; fastest measured at
+    this model's shapes), True/"pallas" → our fused kernel
+    (ops/flash_attention.py), "flash" → jax's stock TPU flash kernel.
+    Kernel paths apply only when on TPU with no attention dropout
+    (pretraining uses attention_probs_dropout_prob=0.1 → XLA path).
+    """
+    impl = {False: "xla", True: "pallas"}.get(use_pallas, use_pallas)
+    if impl != "xla" and _on_tpu() and dropout_rate == 0.0:
         try:
+            if impl == "flash":
+                return _stock_flash_attention(q, k, v, bias)
             from uc2_tpu.ops.flash_attention import flash_attention
             return flash_attention(q, k, v, bias)
         except ImportError:
