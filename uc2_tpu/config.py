@@ -64,13 +64,13 @@ class UC2Config:
     # --- TPU-specific knobs (no reference equivalent) ---
     # Compute dtype for activations ("bfloat16" on TPU, "float32" for parity).
     dtype: str = "bfloat16"
-    # Use the fused Pallas attention kernel when on TPU. Default off: at this
-    # model's shapes (L ≤ 512, d=64, h=768) XLA's attention is measurably
-    # faster on v5e than the standalone kernel (2.7k vs 2.2k pairs/s ITM
-    # scoring) because the per-head matmuls are small and the kernel pays
-    # VMEM relayouts; the kernel remains available/tested for cases where
-    # fusing pays (and as the base for a full fused-block kernel).
-    use_pallas_attention: bool = False
+    # Attention backend: True → the batch-blocked fused Pallas kernel
+    # (ops/flash_attention.py v3; measured +24% on the raw op and +1.5%
+    # end-to-end vs XLA on v5e at L=162 — in-process A/B, BASELINE.md),
+    # False → XLA einsum path, "flash" → jax's stock TPU flash kernel
+    # (measured slower here: 128-block padding). Kernel paths apply on TPU
+    # with no attention dropout; training falls back to XLA automatically.
+    use_pallas_attention: bool = True
     # Remat (activation checkpointing) policy for encoder layers: "none",
     # "full", or "dots" (save matmul outputs only).
     remat: str = "none"
