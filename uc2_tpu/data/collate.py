@@ -105,6 +105,9 @@ def collate_batch(examples: List[Dict[str, Any]], spec: BucketSpec,
     out: Dict[str, np.ndarray] = {
         "input_ids": np.full((B, Lt), pad_token_id, np.int32),
         "attn_mask": np.zeros((B, Lt + Nb if has_img else Lt), np.int32),
+        # 1 for real rows; trailing-batch padding rows stay 0 so per-example
+        # losses/metrics (ITM, VQA) can exclude them
+        "ex_mask": np.zeros((B,), np.float32),
     }
     if has_img:
         out["img_feat"] = np.zeros((B, Nb, img_dim), np.float32)
@@ -135,6 +138,7 @@ def collate_batch(examples: List[Dict[str, Any]], spec: BucketSpec,
         L = ids.shape[0]
         out["input_ids"][b, :L] = ids
         out["attn_mask"][b, :L] = 1
+        out["ex_mask"][b] = 1.0
         if "position_ids" in e and "position_ids" in out:
             out["position_ids"][b, :L] = np.asarray(e["position_ids"])[:Lt]
         nbb = 0

@@ -261,17 +261,21 @@ def make_eval_step(model: UC2ForPretraining, task: str,
                                            compute_ot=base == "itm-ot",
                                            compute_loss=False)
             from uc2_tpu.models.heads import cross_entropy_with_logits
+            # exclude trailing-batch padding rows (ex_mask from the collator)
+            w = batch.get("ex_mask",
+                          jnp.ones(scores.shape[0], jnp.float32))
             loss = jnp.sum(cross_entropy_with_logits(scores,
-                                                     batch["targets"]))
-            correct = jnp.sum(jnp.argmax(scores, -1) == batch["targets"])
-            out = {"loss": loss, "n_correct": correct,
-                   "n_ex": jnp.asarray(scores.shape[0])}
+                                                     batch["targets"]) * w)
+            correct = jnp.sum(
+                (jnp.argmax(scores, -1) == batch["targets"]) * w)
+            out = {"loss": loss, "n_correct": correct, "n_ex": jnp.sum(w)}
             if ot is not None:
-                pos = batch["targets"] == 1
+                pos = (batch["targets"] == 1) & (w > 0)
+                neg = (batch["targets"] == 0) & (w > 0)
                 out["ot_pos"] = jnp.sum(jnp.where(pos, ot, 0.0))
-                out["ot_neg"] = jnp.sum(jnp.where(~pos, ot, 0.0))
+                out["ot_neg"] = jnp.sum(jnp.where(neg, ot, 0.0))
                 out["n_pos"] = jnp.sum(pos)
-                out["n_neg"] = jnp.sum(~pos)
+                out["n_neg"] = jnp.sum(neg)
             return out
         raise ValueError(base)
 
