@@ -129,9 +129,15 @@ class MlmDataset(VLDataset):
 
     def get_example(self, i: int, rng: np.random.Generator) -> Dict:
         rec = self.example_record(i)
-        ids = self.txt_db.combine_inputs(rec["input_ids"])
-        new_ids, labels = masking.mask_tokens(
-            ids, self.txt_db.v_range, self.txt_db.mask, rng, self.mask_prob)
+        # mask the raw caption tokens, THEN wrap with CLS/SEP — special
+        # tokens are never masking candidates (reference create_mlm_io,
+        # data/mlm.py:708-717)
+        raw, raw_labels = masking.mask_tokens(
+            np.asarray(rec["input_ids"]), self.txt_db.v_range,
+            self.txt_db.mask, rng, self.mask_prob)
+        new_ids = np.concatenate([[self.txt_db.cls_], raw,
+                                  [self.txt_db.sep]]).astype(np.int64)
+        labels = np.concatenate([[-1], raw_labels, [-1]]).astype(np.int64)
         feat, bb7, nbb = self._img_feat(rec["img_fname"])
         return {"input_ids": new_ids, "txt_labels": labels,
                 "img_feat": feat, "img_pos_feat": bb7}
@@ -202,12 +208,17 @@ class VmlmDataset(VLDataset):
 
     def get_example(self, i, rng):
         rec = self.example_record(i)
-        ids = self.txt_db.combine_inputs(rec["input_ids"])
         if self.mask_text:
-            ids, txt_labels = masking.mask_tokens(
-                ids, self.txt_db.v_range, self.txt_db.mask, rng,
-                self.mask_prob)
+            # raw tokens masked before CLS/SEP wrap (data/mlm.py:708-717)
+            raw, raw_labels = masking.mask_tokens(
+                np.asarray(rec["input_ids"]), self.txt_db.v_range,
+                self.txt_db.mask, rng, self.mask_prob)
+            ids = np.concatenate([[self.txt_db.cls_], raw,
+                                  [self.txt_db.sep]]).astype(np.int64)
+            txt_labels = np.concatenate(
+                [[-1], raw_labels, [-1]]).astype(np.int64)
         else:
+            ids = self.txt_db.combine_inputs(rec["input_ids"])
             txt_labels = np.full(ids.shape[0], -1, np.int64)
         fname = rec["img_fname"]
         feat, bb7, nbb = self._img_feat(fname)
@@ -264,9 +275,13 @@ class VmlmSoftDataset(VLDataset):
         ex = {"input_ids": ids, "img_feat": feat, "img_pos_feat": bb7,
               "img_masks": img_masks, "label_targets": token_soft}
         if self.mask_text:
-            ids2, txt_labels = masking.mask_tokens(
-                ids, self.txt_db.v_range, self.txt_db.mask, rng,
-                self.mask_prob)
+            raw, raw_labels = masking.mask_tokens(
+                np.asarray(rec["input_ids"]), self.txt_db.v_range,
+                self.txt_db.mask, rng, self.mask_prob)
+            ids2 = np.concatenate([[self.txt_db.cls_], raw,
+                                   [self.txt_db.sep]]).astype(np.int64)
+            txt_labels = np.concatenate(
+                [[-1], raw_labels, [-1]]).astype(np.int64)
             ex["input_ids"] = ids2
             ex["txt_labels"] = txt_labels
             # one-hot soft targets in valid-token space; tokens outside the
