@@ -130,7 +130,8 @@ def main(opts):
     # ---- model
     cfg = UC2Config.from_json_file(opts.model_config).replace(
         dtype=opts.dtype)
-    model = UC2ForPretraining(cfg, ot_pos_only=opts.ot_pos_only)
+    model = UC2ForPretraining(cfg, ot_pos_only=opts.ot_pos_only,
+                              lm_ce_chunks=opts.lm_ce_chunks)
     params = model.init_params(jax.random.PRNGKey(opts.seed))
     if opts.checkpoint:
         LOGGER.info("loading checkpoint %s", opts.checkpoint)
@@ -369,6 +370,9 @@ def build_parser():
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--n_model", type=int, default=1,
                    help="tensor-parallel width of the mesh")
+    p.add_argument("--lm_ce_chunks", type=int, default=0,
+                   help="stream the 250k-vocab MLM CE in N chunks "
+                        "(identical math, O(1/N) logits memory)")
     p.add_argument("--split_step", action="store_true",
                    help="jit grad and optimizer-apply as separate programs "
                         "(smaller compiles, donated buffers)")

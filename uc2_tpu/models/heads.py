@@ -38,7 +38,8 @@ class RobertaLMHead(nn.Module):
     config: UC2Config
 
     @nn.compact
-    def __call__(self, h, embedding_table, valid_ids: Optional[np.ndarray] = None):
+    def __call__(self, h, embedding_table, valid_ids: Optional[np.ndarray] = None,
+                 transform_only: bool = False):
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
         x = Dense(cfg.hidden_size, dtype=dtype, name="dense")(h)
@@ -46,6 +47,9 @@ class RobertaLMHead(nn.Module):
         x = LayerNorm(eps=cfg.layer_norm_eps, dtype=dtype, name="layer_norm")(x)
         bias = self.param("bias", nn.initializers.zeros, (cfg.vocab_size,),
                           jnp.float32)
+        if transform_only:
+            # caller computes the decoder product itself (chunked CE path)
+            return x
         table = embedding_table
         if valid_ids is not None:
             table = jnp.take(embedding_table, valid_ids, axis=0)
@@ -152,6 +156,58 @@ class VqaHead(nn.Module):
         x = LayerNorm(eps=cfg.layer_norm_eps, dtype=dtype, name="layer_norm")(x)
         return Dense(self.num_answer, dtype=dtype, name="out")(x).astype(
             jnp.float32)
+
+
+def chunked_softmax_cross_entropy(h, table, bias, labels, weights,
+                                  n_chunks: int = 8):
+    """CE over a huge vocabulary without materializing [N, V] logits.
+
+    Streams the decoder table through the MXU in ``n_chunks`` vocab chunks
+    with an online logsumexp; each chunk is jax.checkpoint'ed so backward
+    recomputes chunk logits instead of storing them. Memory drops from
+    O(N·V) to O(N·V/n_chunks); values match the dense path to fp32 rounding.
+
+    h [N, H] (transform output), table [V, H], bias [V], labels [N],
+    weights [N]. Returns per-element weighted CE [N].
+    """
+    N, H = h.shape
+    V = table.shape[0]
+    pad = (-V) % n_chunks
+    if pad:
+        table = jnp.concatenate(
+            [table, jnp.zeros((pad, H), table.dtype)], axis=0)
+        # padded rows must never win the logsumexp
+        bias = jnp.concatenate(
+            [bias, jnp.full((pad,), -1e30, bias.dtype)], axis=0)
+    C = table.shape[0] // n_chunks
+    h32 = h.astype(jnp.float32)
+    gold_rows = jnp.take(table, labels, axis=0).astype(jnp.float32)
+    gold = jnp.einsum("nh,nh->n", h32, gold_rows) \
+        + jnp.take(bias, labels, axis=0)
+
+    @jax.checkpoint
+    def body(carry, chunk):
+        m, s = carry
+        tbl, b = chunk
+        logits = jnp.dot(h.astype(tbl.dtype), tbl.T,
+                         preferred_element_type=jnp.float32) \
+            + b.astype(jnp.float32)                     # [N, C]
+        cm = jnp.max(logits, axis=-1)
+        new_m = jnp.maximum(m, cm)
+        s = s * jnp.exp(m - new_m) + jnp.sum(
+            jnp.exp(logits - new_m[:, None]), axis=-1)
+        return (new_m, s), None
+
+    init = (jnp.full((N,), -jnp.inf, jnp.float32), jnp.zeros((N,),
+                                                             jnp.float32))
+    (m, s), _ = jax.lax.scan(
+        body, init, (table.reshape(n_chunks, C, H),
+                     bias.reshape(n_chunks, C)))
+    lse = m + jnp.log(s)
+    loss = lse - gold
+    if weights is not None:
+        loss = loss * weights
+    return loss
 
 
 # ---------------------------------------------------------------------------

@@ -58,10 +58,13 @@ class UC2ForPretraining:
     """
 
     def __init__(self, config: UC2Config, ot_pos_only: bool = False,
-                 nce_temp: float = 1.0):
+                 nce_temp: float = 1.0, lm_ce_chunks: int = 0):
         self.config = config
         self.ot_pos_only = ot_pos_only
         self.nce_temp = nce_temp
+        # >0 → MLM CE streams the 250k-vocab decoder in chunks (identical
+        # values, O(N·V/chunks) memory; heads.chunked_softmax_cross_entropy)
+        self.lm_ce_chunks = lm_ce_chunks
         self.encoder = UC2Model(config)
         self.cls = H.RobertaLMHead(config)
         self.feat_regress = H.RegionFeatureRegression(config)
@@ -129,11 +132,25 @@ class UC2ForPretraining:
         seq, _ = self._encode(params, batch, deterministic, rngs,
                               with_image=with_image)
         h = gather_slots(seq, batch["masked_pos"])
+        if compute_loss and self.lm_ce_chunks:
+            return self._chunked_lm_loss(params, h, batch)
         logits = self._lm_logits(params, h)
         if not compute_loss:
             return logits
         loss = H.cross_entropy_with_logits(
             logits, batch["txt_labels"], batch["masked_weight"])
+        return jnp.sum(loss), jnp.sum(batch["masked_weight"])
+
+    def _chunked_lm_loss(self, params, h, batch):
+        B, M, _ = h.shape
+        emb = params["roberta"]["embeddings"]["word_embeddings"]
+        x = self.cls.apply({"params": params["cls"]}, h, emb,
+                           transform_only=True)
+        loss = H.chunked_softmax_cross_entropy(
+            x.reshape(B * M, -1), emb, params["cls"]["bias"],
+            batch["txt_labels"].reshape(B * M),
+            batch["masked_weight"].reshape(B * M),
+            n_chunks=self.lm_ce_chunks)
         return jnp.sum(loss), jnp.sum(batch["masked_weight"])
 
     # --------------------------------------------------------- MMXLM / VMLM
@@ -148,6 +165,8 @@ class UC2ForPretraining:
         seq, _ = self._encode(params, batch, deterministic, rngs,
                               img_masks=batch["img_masks"])
         h = gather_slots(seq, batch["masked_pos"])
+        if compute_loss and self.lm_ce_chunks:
+            return self._chunked_lm_loss(params, h, batch)
         logits = self._lm_logits(params, h)
         if not compute_loss:
             return logits
