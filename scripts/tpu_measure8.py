@@ -4,7 +4,7 @@ sys.path.insert(0, "/root/repo")
 LOG = open("/root/repo/bench_results.txt", "a")
 def log(*a):
     print(*a, file=LOG, flush=True); print(*a, flush=True)
-log("=== tpu_measure8b (remat=full) start", time.strftime("%H:%M:%S"))
+log("=== tpu_measure8c (remat=full + chunked CE) start", time.strftime("%H:%M:%S"))
 import jax, jax.numpy as jnp, optax, functools
 t0=time.time(); _ = float(jnp.sum(jnp.ones((8,8)))); log("tunnel ready", round(time.time()-t0,1))
 from uc2_tpu.config import UC2Config
@@ -13,7 +13,7 @@ from uc2_tpu.training import optim as O
 from uc2_tpu.training.step import make_split_train_step
 rng = np.random.default_rng(0)
 cfg = UC2Config(dtype="bfloat16", remat="full")
-model = UC2ForPretraining(cfg)
+model = UC2ForPretraining(cfg, lm_ce_chunks=8)
 params = model.init_params(jax.random.PRNGKey(0))
 tx = O.build_optimizer(params, O.constant(4e-5), grad_norm=5.0)
 g, a = make_split_train_step(model, "mlm", tx)
@@ -21,7 +21,7 @@ gj = jax.jit(g)
 aj = jax.jit(a, donate_argnums=(0,1,2))
 opt_state = jax.jit(tx.init)(params)
 Lt, Nb, M = 62, 100, 24
-for B in (112, 224):
+for B in (112, 224, 448):
     ids = rng.integers(4, cfg.vocab_size, (B, Lt)).astype(np.int32); ids[:,0]=0
     batch = {"input_ids": jnp.asarray(ids),
         "img_feat": jnp.asarray(rng.standard_normal((B,Nb,2048)).astype(np.float32)),
