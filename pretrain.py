@@ -218,14 +218,59 @@ def main(opts):
         LOGGER.info("start training at step %d over %d tasks",
                     global_step, len(loaders))
 
+        accum = max(1, opts.gradient_accumulation_steps)
+        grad_fns = {}
+
+        def get_grad_apply(task):
+            # host-side gradient accumulation (reference
+            # gradient_accumulation_steps with delay_unscale,
+            # pretrain.py:556-566): grads from `accum` consecutive batches
+            # of the same task (MetaLoader guarantees the task) are averaged
+            # before one optimizer step. Batches may come from different
+            # shape buckets, so grads are summed across separately-compiled
+            # grad programs rather than stacked.
+            base = task.split("_")[0]
+            if base not in grad_fns:
+                from uc2_tpu.training.step import make_split_train_step
+                g, a = make_split_train_step(
+                    model, base, tx, valid_ids=valid_ids,
+                    itm_ot_lambda=opts.itm_ot_lambda,
+                    ot_pos_only=opts.ot_pos_only)
+                grad_fns[base] = (jax.jit(g),
+                                  jax.jit(a, donate_argnums=(0, 1, 2)))
+            return grad_fns[base]
+
         while global_step < opts.num_train_steps:
-            name, batch = next(meta)
-            batch.pop("_bucket", None)
-            batch.pop("sample_size", None)
-            n_examples[name] += batch["input_ids"].shape[0]
-            batch = M.shard_batch(mesh, batch)
-            rng_key, sub = jax.random.split(rng_key)
-            state, metrics = get_step_fn(name)(state, batch, sub)
+            if accum == 1:
+                name, batch = next(meta)
+                batch.pop("_bucket", None)
+                batch.pop("sample_size", None)
+                n_examples[name] += batch["input_ids"].shape[0]
+                batch = M.shard_batch(mesh, batch)
+                rng_key, sub = jax.random.split(rng_key)
+                state, metrics = get_step_fn(name)(state, batch, sub)
+            else:
+                from uc2_tpu.training.step import TrainState
+                grads_sum = None
+                loss_sum = 0.0
+                for _ in range(accum):
+                    name, batch = next(meta)
+                    batch.pop("_bucket", None)
+                    batch.pop("sample_size", None)
+                    n_examples[name] += batch["input_ids"].shape[0]
+                    batch = M.shard_batch(mesh, batch)
+                    rng_key, sub = jax.random.split(rng_key)
+                    gj, aj = get_grad_apply(name)
+                    g, m = gj(state.params, batch, sub)
+                    loss_sum += float(m["loss"])
+                    grads_sum = g if grads_sum is None else \
+                        jax.tree_util.tree_map(jax.numpy.add, grads_sum, g)
+                grads_sum = jax.tree_util.tree_map(
+                    lambda x: x / accum, grads_sum)
+                params_new, opt_state = aj(grads_sum, state.opt_state,
+                                           state.params)
+                state = TrainState(state.step + 1, params_new, opt_state)
+                metrics = {"loss": loss_sum / accum}
             global_step = int(state.step)
             task2loss[name](float(metrics["loss"]))
 
