@@ -154,6 +154,11 @@ def main(opts):
     meta = MetaLoader(loaders, ratios,
                       accum_steps=opts.gradient_accumulation_steps,
                       seed=opts.seed)
+    # background thread assembles the next batches while the device runs
+    # the current step (reference PrefetchLoader's H2D side stream,
+    # data/loader.py:85-140)
+    from uc2_tpu.data.loader import PrefetchLoader
+    meta = PrefetchLoader(meta, depth=2)
 
     # ---- mesh + optimizer + state
     mesh = M.make_mesh(n_model=opts.n_model)
