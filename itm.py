@@ -37,11 +37,18 @@ def main(opts):
                                              save_training_meta)
     from uc2_tpu.training.step import TrainState, create_train_state
 
+    from uc2_tpu.parallel import multihost as MH
+    MH.maybe_initialize(opts.coordinator_address, opts.num_processes,
+                        opts.process_id)
+    is_main = MH.process_index() == 0
+    multi = MH.process_count() > 1
+
     np.random.seed(opts.seed)
     os.makedirs(opts.output_dir, exist_ok=True)
-    save_training_meta(opts.output_dir, vars(opts))
-    TB_LOGGER.create(os.path.join(opts.output_dir, "log"))
-    add_log_to_file(os.path.join(opts.output_dir, "log", "log.txt"))
+    if is_main:
+        save_training_meta(opts.output_dir, vars(opts))
+        TB_LOGGER.create(os.path.join(opts.output_dir, "log"))
+        add_log_to_file(os.path.join(opts.output_dir, "log", "log.txt"))
 
     cfg = UC2Config.from_json_file(opts.model_config).replace(
         dtype=opts.dtype)
@@ -56,8 +63,10 @@ def main(opts):
         # rank head from pretrained ITM head (reference model/itm.py:23-26)
         params = convert.init_rank_from_itm(params)
 
-    # ---- data
-    txt_db = TxtTokDb(opts.train_txt_db, max_txt_len=opts.max_txt_len)
+    # ---- data: train texts shard per host (reference data/data.py:201-203)
+    txt_db = TxtTokDb(opts.train_txt_db, max_txt_len=opts.max_txt_len,
+                      shard=(MH.process_index(), MH.process_count())
+                      if multi else None)
     img_db = DetectFeatDb(opts.train_img_db, opts.conf_th, opts.max_bb,
                           opts.min_bb, opts.num_bb)
     if opts.hard_neg_size > 0:
@@ -113,11 +122,21 @@ def main(opts):
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, new_params, opt_state), loss
 
+    def host_params(state):
+        # eval runs per-host on host-local replicas (multi-process: global
+        # arrays can't mix with locally-placed eval batches in one jit)
+        return jax.device_get(state.params) if multi else state.params
+
     with mesh:
         state = jax.jit(lambda p: create_train_state(p, tx))(sharded)
         restorer = TrainingRestorer(
             opts.output_dir, {"lr": opts.learning_rate, "seed": opts.seed},
             save_steps=opts.save_steps)
+        if multi:
+            assert MH.broadcast_object(restorer.restore_pending) \
+                == restorer.restore_pending, \
+                "restore.pt visible on some hosts only — multi-host " \
+                "resume needs output_dir on a shared filesystem"
         if restorer.restore_pending:
             state = restorer.restore(state)
             LOGGER.info("resumed at step %d", int(state.step))
@@ -155,7 +174,7 @@ def main(opts):
                 if opts.full_val:
                     # all-pairs matrix (reference evaluate(), itm.py:492-538)
                     log = full_retrieval_eval(
-                        model, state.params, val_txt_db, val_img_db,
+                        model, host_params(state), val_txt_db, val_img_db,
                         opts.max_txt_len + 2, opts.max_bb,
                         batch_size=opts.eval_batch_size,
                         txt_ids=val_txt_db.ids[:opts.eval_txt_limit]
@@ -164,28 +183,31 @@ def main(opts):
                     # rank GT among a 400-image pool (reference validate(),
                     # itm.py:448-489)
                     log = quick_validate(
-                        model, state.params, val_txt_db, val_img_db,
+                        model, host_params(state), val_txt_db, val_img_db,
                         opts.max_txt_len + 2, opts.max_bb,
-                        n_txts=opts.eval_txt_limit or 64,
+                        n_txts=opts.eval_txt_limit or None,
                         batch_size=opts.eval_batch_size)
                 LOGGER.info("validation R@K: %s",
                             {k: round(v, 4) for k, v in log.items()})
                 TB_LOGGER.log_scalar_dict(log, prefix="val")
-                saver.save(jax.tree_util.tree_map(np.asarray, state.params),
-                           global_step)
+                if is_main:
+                    saver.save(jax.tree_util.tree_map(
+                        np.asarray, jax.device_get(state.params)),
+                        global_step)
 
             if (opts.hard_neg_size > 0 and opts.hard_neg_steps
                     and global_step % opts.hard_neg_steps == 0):
                 LOGGER.info("mining hard negatives at step %d", global_step)
                 hard = mine_hard_negatives(
-                    model, state.params, txt_db, img_db,
+                    model, host_params(state), txt_db, img_db,
                     opts.max_txt_len + 2, opts.max_bb,
                     hard_neg_size=opts.hard_neg_size,
                     batch_size=opts.eval_batch_size,
                     out_path=os.path.join(opts.output_dir,
                                           f"hard_negs_{global_step}.json"))
                 dataset.reload_hard_negs(hard)
-            restorer.step(global_step, state)
+            if is_main:
+                restorer.step(global_step, state)
 
         # final full evaluation on every test db pair (itm.py:367-381)
         results = {}
@@ -193,7 +215,7 @@ def main(opts):
             tdb = TxtTokDb(spec["db"], max_txt_len=opts.max_txt_len)
             idb = DetectFeatDb(spec["img"], opts.conf_th, opts.max_bb,
                                opts.min_bb, opts.num_bb)
-            log = full_retrieval_eval(model, state.params, tdb, idb,
+            log = full_retrieval_eval(model, host_params(state), tdb, idb,
                                       opts.max_txt_len + 2, opts.max_bb,
                                       batch_size=opts.eval_batch_size)
             LOGGER.info("test [%s]: %s", spec.get("name", spec["db"]),
@@ -250,6 +272,12 @@ def build_parser():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--n_model", type=int, default=1)
+    # multi-host (reference: horovodrun -np N, README.md:32-42)
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 — enables "
+                        "jax.distributed.initialize")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p
 
 

@@ -168,7 +168,9 @@ class TlmDataset(VLDataset):
                 np.asarray(rec["input_ids"]), self.txt_db.v_range,
                 self.txt_db.mask, rng, self.mask_prob)
         else:
-            mode = "full" if self.mode == "mix" else self.mode
+            # reference 'mix' uses random_word_dmasking — the single-subtoken
+            # 'random' co-mask variant (data/mlm.py:405-410), not 'full'
+            mode = "random" if self.mode == "mix" else self.mode
             raw_ids, raw_labels = masking.comask_tokens(
                 rec, self.txt_db.v_range, self.txt_db.mask, rng, mode,
                 self.mask_prob)

@@ -10,7 +10,7 @@ across hosts:
   * VTLM cross-lingual co-masking: mask an EN token, then co-mask the aligned
     word in the other language — 'full' (all subtokens of both words,
     data/mlm.py:101-181), 'random' (one aligned subtoken, :202-258), 'mix'
-    (50/50 full-co-masking vs plain MLM, :406-415 at the dataset level).
+    (50/50 *random*-co-masking vs plain MLM, :406-415 at the dataset level).
   * Region masking w.p. mrm_prob with at-least-one (:355-360 _get_img_mask).
   * MRTM hard-target selection: a random subword of the argmax detector class
     in the dataset's language (:262-308).
@@ -170,9 +170,10 @@ def region_mask_with_token_labels(
 
 
 def mix_comask(example, v_range, mask_id, rng, prob=0.15):
-    """'mix' dmasking: 50/50 full-co-masking vs plain MLM over the combined
-    pair (reference data/mlm.py:406-415)."""
+    """'mix' dmasking: 50/50 random-co-masking vs plain MLM over the combined
+    pair (reference data/mlm.py:406-415 calls random_word_dmasking — the
+    single-subtoken 'random' variant — in the co-mask branch)."""
     if rng.random() < 0.5:
-        return comask_tokens(example, v_range, mask_id, rng, "full", prob)
+        return comask_tokens(example, v_range, mask_id, rng, "random", prob)
     ids = np.asarray(example["input_ids"])
     return mask_tokens(ids, v_range, mask_id, rng, prob)

@@ -40,6 +40,19 @@ class BucketBatcher:
         self.routing = [pick_bucket(self.buckets, t, n)
                         for t, n in zip(self.txt_lens, self.num_bbs)]
         self.n_skipped = sum(r is None for r in self.routing)
+        if self.n_skipped:
+            skipped = [(t, n) for t, n, r in
+                       zip(self.txt_lens, self.num_bbs, self.routing)
+                       if r is None]
+            max_t = max(t for t, _ in skipped)
+            max_n = max(n for _, n in skipped)
+            import logging
+            logging.getLogger("uc2_tpu").warning(
+                "BucketBatcher: %d/%d examples fit no bucket and will be "
+                "skipped every epoch (max txt_len=%d, max num_bb=%d; "
+                "largest bucket=%s) — widen the bucket set to keep them",
+                self.n_skipped, len(self.routing), max_t, max_n,
+                max(self.buckets, key=lambda b: (b.txt_len, b.num_bb)))
 
     def epoch(self, epoch: int) -> Iterator[Tuple[int, List[int]]]:
         rng = np.random.default_rng((self.seed, epoch))

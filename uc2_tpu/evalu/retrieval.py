@@ -173,29 +173,57 @@ def score_matrix(model, params, txt_db, img_db,
 
 def full_retrieval_eval(model, params, txt_db, img_db, txt_len: int,
                         num_bb: int, batch_size: int = 64,
-                        txt_ids: Optional[Sequence[str]] = None
-                        ) -> Dict[str, float]:
+                        txt_ids: Optional[Sequence[str]] = None,
+                        shard_hosts: bool = True,
+                        return_matrix: bool = False) -> Dict[str, float]:
     """Score-matrix eval → R@K both directions (reference evaluate(),
-    itm.py:492-538 + eval/itm.py:6)."""
+    itm.py:492-538 + eval/itm.py:6).
+
+    Multi-process: each host scores its stride of the text list on its own
+    devices (params must be host-local — pass a numpy tree) and the rows
+    are gathered into the full matrix on every host — the reference's
+    hvd.allgather(score_matrix) + all_gather_list(txt ids),
+    itm.py:498-501. Eval is embarrassingly data-parallel, so this is a
+    host-level object gather, not a mesh collective."""
     from uc2_tpu.evalu.itm_metrics import itm_eval
+    from uc2_tpu.parallel import multihost as MH
     txt2img = txt_db.txt2img
     img2txts = txt_db.img2txts
     txt_ids = list(txt_ids if txt_ids is not None else txt_db.ids)
     # images sorted by nbb for cache friendliness (reference data/itm.py:905)
     img_ids = sorted({txt2img[t] for t in txt_ids},
                      key=lambda im: img_db.name2nbb[im])
-    m = score_matrix(model, params, txt_db, img_db, txt_ids, img_ids,
-                     txt_len, num_bb, batch_size)
-    return itm_eval(m, txt_ids, img_ids, txt2img, img2txts)
+    world = MH.process_count()
+    if world > 1 and shard_hosts:
+        rank = MH.process_index()
+        local_pos = list(range(rank, len(txt_ids), world))
+        m_local = score_matrix(model, params, txt_db, img_db,
+                               [txt_ids[i] for i in local_pos], img_ids,
+                               txt_len, num_bb, batch_size)
+        # identical max_bytes on every host (the gather pads to it)
+        per_host = -(-len(txt_ids) // world)
+        max_bytes = per_host * len(img_ids) * 4 + (1 << 20)
+        rows = MH.all_gather_object((local_pos, m_local),
+                                    max_bytes=max_bytes)
+        m = np.zeros((len(txt_ids), len(img_ids)), np.float32)
+        for pos, mat in rows:
+            m[np.asarray(pos, np.int64)] = mat
+    else:
+        m = score_matrix(model, params, txt_db, img_db, txt_ids, img_ids,
+                         txt_len, num_bb, batch_size)
+    metrics = itm_eval(m, txt_ids, img_ids, txt2img, img2txts)
+    if return_matrix:
+        return metrics, (m, txt_ids, img_ids)
+    return metrics
 
 
 def quick_validate(model, params, txt_db, img_db, txt_len: int, num_bb: int,
-                   n_imgs: int = 400, n_txts: int = 64,
+                   n_imgs: int = 400, n_txts: Optional[int] = None,
                    batch_size: int = 64, seed: int = 0) -> Dict[str, float]:
-    """Rank the GT image among a fixed pool of `n_imgs` images for a sample
-    of texts (reference validate(), itm.py:448-489 — 1 text vs 400-image
-    minibatch). Cheaper than the full score matrix; used between train
-    steps."""
+    """Rank the GT image among a fixed pool of `n_imgs` images for EVERY
+    text in the val DB (reference validate(), itm.py:448-489 — each text vs
+    a 400-image minibatch). ``n_txts`` optionally subsamples texts for an
+    even cheaper smoke signal; the reference equivalent is None (all)."""
     rng = np.random.default_rng(seed)
     txt2img = txt_db.txt2img
     all_imgs = sorted({txt2img[t] for t in txt_db.ids})
@@ -204,13 +232,21 @@ def quick_validate(model, params, txt_db, img_db, txt_len: int, num_bb: int,
         pool = [pool[i] for i in
                 rng.choice(len(pool), n_imgs, replace=False)]
     txt_ids = list(txt_db.ids)
-    if len(txt_ids) > n_txts:
+    if n_txts is not None and len(txt_ids) > n_txts:
         txt_ids = [txt_ids[i] for i in
                    rng.choice(len(txt_ids), n_txts, replace=False)]
     txt_ids = [t for t in txt_ids if txt2img[t] in set(pool)] or txt_ids[:1]
+    # each out-of-pool GT gets its own slot (overwriting a single slot would
+    # keep only the last GT and silently drop earlier texts from the stats)
+    pool_set = set(pool)
+    slot = 0
     for t in txt_ids:
-        if txt2img[t] not in set(pool):
-            pool[0] = txt2img[t]
+        gt = txt2img[t]
+        if gt not in pool_set and slot < len(pool):
+            pool_set.discard(pool[slot])
+            pool[slot] = gt
+            pool_set.add(gt)
+            slot += 1
     m = score_matrix(model, params, txt_db, img_db, txt_ids, pool,
                      txt_len, num_bb, batch_size)
     img2j = {im: j for j, im in enumerate(pool)}
