@@ -33,9 +33,12 @@ from uc2_tpu.config import UC2Config, parse_with_config
 from uc2_tpu.utils.logger import LOGGER, TB_LOGGER, RunningMeter, add_log_to_file
 
 
-def build_datasets(opts, which: str = "train"):
+def build_datasets(opts, which: str = "train", shard=None):
     """Instantiate task datasets from the config's dataset specs
-    (mirrors pretrain.py:277-381 create_dataloaders)."""
+    (mirrors pretrain.py:277-381 create_dataloaders).
+
+    ``shard=(rank, world)`` stripes each text DB's ids across hosts —
+    the reference's in-dataset DP sharding (data/data.py:201-203)."""
     from uc2_tpu.data.db import ImageDbGroup, SoftLabelDb, TxtTokDb
     from uc2_tpu.data.labels import LabelVocab, hash_tokenize
     from uc2_tpu.data import datasets as D
@@ -54,7 +57,8 @@ def build_datasets(opts, which: str = "train"):
             else [spec["img"]]
         sl_dbs = spec.get("img_token_soft_label")
         for i, (tpath, ipath) in enumerate(zip(txt_dbs, img_dbs)):
-            txt_db = TxtTokDb(tpath, max_txt_len=opts.max_txt_len)
+            txt_db = TxtTokDb(tpath, max_txt_len=opts.max_txt_len,
+                              shard=shard)
             img_db = img_group[ipath]
             for task, ratio in zip(spec["tasks"], spec["mix_ratio"]):
                 key = f"{task}_{name}" + (f"_{i}" if len(txt_dbs) > 1 else "")
@@ -121,11 +125,19 @@ def main(opts):
     from uc2_tpu.training.step import (create_train_state, make_eval_step,
                                        make_train_step)
 
+    from uc2_tpu.parallel import multihost as MH
+    MH.maybe_initialize(opts.coordinator_address, opts.num_processes,
+                        opts.process_id)
+    is_main = MH.process_index() == 0
+    multi = MH.process_count() > 1
+
     np.random.seed(opts.seed)
     os.makedirs(opts.output_dir, exist_ok=True)
-    save_training_meta(opts.output_dir, vars(opts))
-    TB_LOGGER.create(os.path.join(opts.output_dir, "log"))
-    add_log_to_file(os.path.join(opts.output_dir, "log", "log.txt"))
+    if is_main:
+        # rank0-only writers (reference NoOp swap, pretrain.py:401-410)
+        save_training_meta(opts.output_dir, vars(opts))
+        TB_LOGGER.create(os.path.join(opts.output_dir, "log"))
+        add_log_to_file(os.path.join(opts.output_dir, "log", "log.txt"))
 
     # ---- model
     cfg = UC2Config.from_json_file(opts.model_config).replace(
@@ -142,8 +154,12 @@ def main(opts):
         params = convert.splice_early_adaptation(
             params, load_raw_checkpoint(opts.early_adaptation_checkpoint))
 
-    # ---- data
-    train, label_vocab = build_datasets(opts, "train")
+    # ---- data: train DBs shard per host (reference data/data.py:201-203);
+    # val stays replicated so every host computes identical metrics in
+    # lockstep without a gather
+    train, label_vocab = build_datasets(
+        opts, "train",
+        shard=(MH.process_index(), MH.process_count()) if multi else None)
     val, _ = (build_datasets(opts, "val") if opts.val_datasets
               else ({}, None))
     buckets = default_buckets(opts.max_txt_len, opts.max_bb,
@@ -151,14 +167,22 @@ def main(opts):
     loaders = {k: TaskLoader(k, v["dataset"], buckets, seed=opts.seed)
                for k, v in train.items()}
     ratios = {k: v["ratio"] for k, v in train.items()}
-    meta = MetaLoader(loaders, ratios,
-                      accum_steps=opts.gradient_accumulation_steps,
-                      seed=opts.seed)
+    accum = max(1, opts.gradient_accumulation_steps)
+    # default accumulation path: same-bucket micro-batches stacked on a
+    # leading axis, scan-accumulated inside the jitted step (zero host
+    # syncs per window); --host_accum falls back to summing grads across
+    # separately-dispatched grad programs (allows mixed-bucket windows)
+    stack = accum > 1 and not opts.host_accum
+    meta = MetaLoader(loaders, ratios, accum_steps=accum, seed=opts.seed,
+                      stack_microbatches=stack, sync_buckets=multi)
     # background thread assembles the next batches while the device runs
     # the current step (reference PrefetchLoader's H2D side stream,
-    # data/loader.py:85-140)
-    from uc2_tpu.data.loader import PrefetchLoader
-    meta = PrefetchLoader(meta, depth=2)
+    # data/loader.py:85-140). Multi-host runs skip it: the per-window
+    # bucket broadcast is a global collective and must not race the main
+    # thread's mesh programs.
+    if not multi:
+        from uc2_tpu.data.loader import PrefetchLoader
+        meta = PrefetchLoader(meta, depth=2)
 
     # ---- mesh + optimizer + state
     mesh = M.make_mesh(n_model=opts.n_model)
@@ -179,6 +203,12 @@ def main(opts):
             {k: vars(opts)[k] for k in ("learning_rate", "seed",
                                         "train_batch_size")},
             save_steps=opts.save_steps)
+        if multi:
+            # resume must be all-or-none across hosts (params would diverge)
+            assert MH.broadcast_object(restorer.restore_pending) \
+                == restorer.restore_pending, \
+                "restore.pt visible on some hosts only — multi-host resume " \
+                "needs output_dir on a shared filesystem"
         if restorer.restore_pending:
             state = restorer.restore(state)
             LOGGER.info("restored training at step %d", int(state.step))
@@ -223,7 +253,6 @@ def main(opts):
         LOGGER.info("start training at step %d over %d tasks",
                     global_step, len(loaders))
 
-        accum = max(1, opts.gradient_accumulation_steps)
         grad_fns = {}
 
         def get_grad_apply(task):
@@ -246,18 +275,23 @@ def main(opts):
             return grad_fns[base]
 
         while global_step < opts.num_train_steps:
-            if accum == 1:
+            if accum == 1 or stack:
                 name, batch = next(meta)
                 batch.pop("_bucket", None)
                 batch.pop("sample_size", None)
-                n_examples[name] += batch["input_ids"].shape[0]
-                batch = M.shard_batch(mesh, batch)
+                bs = batch["input_ids"].shape
+                n_examples[name] += (bs[0] * bs[1] if stack else bs[0])
+                batch = M.shard_batch(mesh, batch, stacked=stack)
                 rng_key, sub = jax.random.split(rng_key)
                 state, metrics = get_step_fn(name)(state, batch, sub)
             else:
+                # host-side accumulation: grads summed on device across
+                # separately-compiled grad programs; no per-micro-batch
+                # host sync — metrics stay device arrays until the window
+                # ends (reference pretrain.py:556-566)
                 from uc2_tpu.training.step import TrainState
                 grads_sum = None
-                loss_sum = 0.0
+                metrics_sum = None
                 for _ in range(accum):
                     name, batch = next(meta)
                     batch.pop("_bucket", None)
@@ -267,15 +301,19 @@ def main(opts):
                     rng_key, sub = jax.random.split(rng_key)
                     gj, aj = get_grad_apply(name)
                     g, m = gj(state.params, batch, sub)
-                    loss_sum += float(m["loss"])
-                    grads_sum = g if grads_sum is None else \
-                        jax.tree_util.tree_map(jax.numpy.add, grads_sum, g)
+                    if grads_sum is None:
+                        grads_sum, metrics_sum = g, m
+                    else:
+                        grads_sum = jax.tree_util.tree_map(
+                            jax.numpy.add, grads_sum, g)
+                        metrics_sum = jax.tree_util.tree_map(
+                            jax.numpy.add, metrics_sum, m)
                 grads_sum = jax.tree_util.tree_map(
                     lambda x: x / accum, grads_sum)
                 params_new, opt_state = aj(grads_sum, state.opt_state,
                                            state.params)
                 state = TrainState(state.step + 1, params_new, opt_state)
-                metrics = {"loss": loss_sum / accum}
+                metrics = {k: v / accum for k, v in metrics_sum.items()}
             global_step = int(state.step)
             task2loss[name](float(metrics["loss"]))
 
@@ -296,20 +334,27 @@ def main(opts):
 
             if opts.valid_steps and global_step % opts.valid_steps == 0:
                 validate(model, state, val, buckets, valid_ids, opts, mesh)
-                saver.save(jax.tree_util.tree_map(np.asarray, state.params),
-                           global_step)
-            restorer.step(global_step, state)
+                if is_main:
+                    saver.save(jax.tree_util.tree_map(np.asarray,
+                                                      state.params),
+                               global_step)
+            if is_main:
+                restorer.step(global_step, state)
 
         if opts.valid_steps and global_step % opts.valid_steps != 0:
             validate(model, state, val, buckets, valid_ids, opts, mesh)
-            saver.save(jax.tree_util.tree_map(np.asarray, state.params),
-                       global_step)
+            if is_main:
+                saver.save(jax.tree_util.tree_map(np.asarray, state.params),
+                           global_step)
         LOGGER.info("training done at step %d", global_step)
         return state
 
 
 def validate(model, state, val, buckets, valid_ids, opts, mesh):
-    """Per-task validation (reference pretrain.py:658-1051)."""
+    """Per-task validation over the FULL val DB — one complete epoch per
+    task, every example counted once (reference pretrain.py:658-1051
+    sweeps each val loader to exhaustion). ``--val_batches`` > 0 caps the
+    sweep for smoke runs."""
     import jax
     from uc2_tpu.data.loader import TaskLoader
     from uc2_tpu.parallel import mesh as M
@@ -322,8 +367,9 @@ def validate(model, state, val, buckets, valid_ids, opts, mesh):
                         drop_last=False)
         agg = defaultdict(float)
         t0 = time.time()
-        for _ in range(opts.val_batches):
-            batch = tl.next_batch()
+        for n_b, batch in enumerate(tl.one_epoch()):
+            if opts.val_batches and n_b >= opts.val_batches:
+                break
             batch.pop("_bucket", None)
             batch.pop("sample_size", None)
             out = ev(state.params, M.shard_batch(mesh, batch))
@@ -340,6 +386,12 @@ def validate(model, state, val, buckets, valid_ids, opts, mesh):
         elif "n_ex" in agg and agg["n_ex"]:
             log["loss"] = agg["loss"] / agg["n_ex"]
             log["acc"] = agg.get("n_correct", 0) / agg["n_ex"]
+        # OT alignment diagnostics (reference pretrain.py:1003-1051 logs
+        # mean OT distance over positive / negative ITM pairs)
+        if agg.get("n_pos"):
+            log["ot_pos"] = agg["ot_pos"] / agg["n_pos"]
+        if agg.get("n_neg"):
+            log["ot_neg"] = agg["ot_neg"] / agg["n_neg"]
         LOGGER.info("validate %s: %s (%.1fs)", key,
                     {k: round(x, 4) for k, x in log.items()},
                     time.time() - t0)
@@ -412,7 +464,13 @@ def build_parser():
     p.add_argument("--warmup_steps", type=int, default=10000)
     p.add_argument("--num_train_steps", type=int, default=200000)
     p.add_argument("--valid_steps", type=int, default=5000)
-    p.add_argument("--val_batches", type=int, default=8)
+    p.add_argument("--val_batches", type=int, default=0,
+                   help="cap validation to N batches per task "
+                        "(0 = sweep the full val DB, the reference behavior)")
+    p.add_argument("--host_accum", action="store_true",
+                   help="accumulate gradients on the host across separate "
+                        "grad dispatches instead of the in-step lax.scan "
+                        "(allows mixed-bucket windows)")
     p.add_argument("--save_steps", type=int, default=200)
     p.add_argument("--log_steps", type=int, default=100)
     p.add_argument("--seed", type=int, default=42)
@@ -426,6 +484,13 @@ def build_parser():
     p.add_argument("--split_step", action="store_true",
                    help="jit grad and optimizer-apply as separate programs "
                         "(smaller compiles, donated buffers)")
+    # multi-host (reference: horovodrun -np N, README.md:32-42)
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 — enables "
+                        "jax.distributed.initialize (or set "
+                        "JAX_COORDINATOR_ADDRESS et al.)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p
 
 

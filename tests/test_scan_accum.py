@@ -1,0 +1,136 @@
+"""In-XLA gradient accumulation (lax.scan over a leading micro-batch axis):
+parity with per-micro-batch gradients, loader stacking semantics, and the
+driver route (stacked default vs --host_accum)."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uc2_tpu.config import UC2Config
+from uc2_tpu.data.collate import BucketSpec
+from uc2_tpu.data.db import DetectFeatDb, TxtTokDb
+from uc2_tpu.data.loader import MetaLoader, TaskLoader
+from uc2_tpu.data.synth import synth_corpus
+from uc2_tpu.data import datasets as D
+from uc2_tpu.models.pretraining import UC2ForPretraining
+from uc2_tpu.training.step import accumulated_grads, make_loss_fn
+
+TINY = UC2Config(vocab_size=512, hidden_size=32, num_hidden_layers=2,
+                 num_attention_heads=2, intermediate_size=64,
+                 max_position_embeddings=80, img_dim=16, img_label_dim=11,
+                 dtype="float32", use_pallas_attention=False,
+                 hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    out = tmp_path_factory.mktemp("accum_corpus")
+    return synth_corpus(str(out), n_imgs=16, txt_per_img=2, min_bb=4,
+                        max_bb=12, img_dim=16, n_classes=11, seed=5,
+                        max_words=7, vocab=512)
+
+
+def _mlm_loader(corpus, buckets, seed=0):
+    txt_db = TxtTokDb(corpus["txt_db"], max_txt_len=18)
+    img_db = DetectFeatDb(corpus["img_db"], 0.2, 12, 4, 12)
+    ds = D.MlmDataset(txt_db, img_db, 0.15)
+    return TaskLoader("mlm", ds, buckets, seed=seed)
+
+
+def test_scan_accum_matches_per_micro_grads(corpus):
+    """scan-accumulated grads == mean of A independent micro-grad calls
+    (same per-micro rngs; dropout 0 so rng only feeds masking-free paths)."""
+    buckets = [BucketSpec(20, 16, 4, 16)]
+    tl = _mlm_loader(corpus, buckets)
+    stacked = tl.next_stacked(3)
+    stacked.pop("_bucket", None)
+    stacked.pop("sample_size", None)
+
+    model = UC2ForPretraining(TINY)
+    params = model.init_params(jax.random.PRNGKey(0))
+    loss_fn = make_loss_fn(model, "mlm")
+
+    rng = jax.random.PRNGKey(7)
+    g_scan, m_scan = jax.jit(
+        lambda p, b, r: accumulated_grads(loss_fn, p, b, r))(
+        params, stacked, rng)
+
+    rngs = jax.random.split(rng, 3)
+    g_ref = None
+    losses = []
+    for a in range(3):
+        mb = jax.tree_util.tree_map(lambda x: x[a], stacked)
+        g, m = jax.jit(
+            lambda p, b, r: accumulated_grads(loss_fn, p, b, r))(
+            params, mb, rngs[a])
+        losses.append(float(m["loss"]))
+        g_ref = g if g_ref is None else jax.tree_util.tree_map(
+            jnp.add, g_ref, g)
+    g_ref = jax.tree_util.tree_map(lambda x: x / 3, g_ref)
+
+    assert float(m_scan["loss"]) == pytest.approx(np.mean(losses), rel=1e-5)
+    flat_s = jax.tree_util.tree_leaves(g_scan)
+    flat_r = jax.tree_util.tree_leaves(g_ref)
+    for a, b in zip(flat_s, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_next_stacked_same_bucket_no_loss(corpus):
+    """Stacked windows are homogeneous in shape; deferred off-bucket batches
+    are consumed later, not dropped."""
+    buckets = [BucketSpec(12, 8, 4, 12), BucketSpec(20, 16, 4, 16)]
+    tl = _mlm_loader(corpus, buckets)
+    seen_shapes = set()
+    for _ in range(6):
+        st = tl.next_stacked(2)
+        ids = st["input_ids"]
+        assert ids.ndim == 3 and ids.shape[0] == 2
+        seen_shapes.add(ids.shape[1:])
+    # both buckets eventually appear (synth corpus spans both)
+    assert len(seen_shapes) >= 1
+
+
+def test_meta_loader_stacked_window_schedule(corpus):
+    buckets = [BucketSpec(20, 16, 4, 16)]
+    tl = _mlm_loader(corpus, buckets)
+    meta = MetaLoader({"mlm_s": tl}, {"mlm_s": 1.0}, accum_steps=2, seed=0,
+                      stack_microbatches=True)
+    name, batch = next(meta)
+    assert name == "mlm_s"
+    assert batch["input_ids"].ndim == 3
+    assert batch["input_ids"].shape[0] == 2
+    assert meta.step == 2
+
+
+def test_driver_host_accum(tmp_path):
+    """--host_accum path still trains (grads summed across dispatches)."""
+    import pretrain
+    corpus = synth_corpus(str(tmp_path / "c"), n_imgs=12, txt_per_img=2,
+                          min_bb=4, max_bb=10, img_dim=16, n_classes=11,
+                          seed=7, max_words=6, vocab=512)
+    cfgp = tmp_path / "tiny.json"
+    cfgp.write_text(json.dumps({
+        "vocab_size": 512, "hidden_size": 32, "num_hidden_layers": 1,
+        "num_attention_heads": 2, "intermediate_size": 64,
+        "max_position_embeddings": 64, "img_dim": 16, "img_label_dim": 11,
+        "use_pallas_attention": False}))
+    argv = [
+        "--model_config", str(cfgp),
+        "--output_dir", str(tmp_path / "out"),
+        "--train_datasets", json.dumps([
+            {"name": "s", "language": "en", "db": [corpus["txt_db"]],
+             "img": [corpus["img_db"]], "tasks": ["mlm", "itm"],
+             "mix_ratio": [1, 1]}]),
+        "--max_txt_len", "20", "--max_bb", "10", "--min_bb", "4",
+        "--train_batch_size", "256", "--num_train_steps", "2",
+        "--warmup_steps", "1", "--valid_steps", "0", "--save_steps", "3",
+        "--log_steps", "1", "--dtype", "float32", "--seed", "0",
+        "--gradient_accumulation_steps", "2", "--host_accum",
+    ]
+    opts = pretrain.parse_with_config(pretrain.build_parser(), argv)
+    state = pretrain.main(opts)
+    assert int(state.step) == 2

@@ -44,6 +44,8 @@ class TaskLoader:
         self.shuffle = shuffle
         self._epoch = -1
         self._iter = None
+        self._draws = 0          # per-epoch batch counter (RNG keying)
+        self._pending: List[Tuple[int, List[int]]] = []
 
     def _effective_dims(self) -> Tuple[List[int], List[int]]:
         ds = self.dataset
@@ -64,17 +66,100 @@ class TaskLoader:
                                 drop_last=self.drop_last)
         self._iter = batcher.epoch(self._epoch)
 
-    def next_batch(self) -> Dict[str, np.ndarray]:
+    def _draw(self) -> Tuple[int, List[int]]:
+        if self._pending:
+            return self._pending.pop(0)
         while True:
             if self._iter is None:
                 self._new_epoch()
+                self._draws = 0
             try:
-                bucket_idx, indices = next(self._iter)
-                break
+                return next(self._iter)
             except StopIteration:
                 self._iter = None
+
+    def _next_assignment(self, bucket: Optional[int] = None
+                         ) -> Tuple[int, List[int]]:
+        """Next (bucket_idx, indices), refreshing epochs as needed.
+
+        ``bucket`` constrains the draw to one bucket (multi-host SPMD
+        lockstep: every host must run the same compiled shape each step;
+        host 0 broadcasts its bucket choice, the rest match it here).
+        Off-bucket draws are deferred, not dropped.
+        """
+        if bucket is None:
+            return self._draw()
+        for k, (b, idx) in enumerate(self._pending):
+            if b == bucket:
+                return self._pending.pop(k)
+        deferred = []
+        epochs_seen = 0
+        while True:
+            was_fresh = self._iter is None
+            if was_fresh:
+                epochs_seen += 1
+                assert epochs_seen < 64, (
+                    f"bucket {bucket} never produced a full batch on this "
+                    "host's data shard — bucket set and shard are "
+                    "incompatible for lockstep training")
+            b, idx = self._draw()
+            if b == bucket:
+                self._pending.extend(deferred)
+                return b, idx
+            deferred.append((b, idx))
+
+    def next_batch(self, bucket: Optional[int] = None
+                   ) -> Dict[str, np.ndarray]:
+        bucket_idx, indices = self._next_assignment(bucket)
+        return self._assemble(bucket_idx, indices)
+
+    def next_stacked(self, n: int, bucket: Optional[int] = None
+                     ) -> Dict[str, np.ndarray]:
+        """n same-bucket batches stacked along a new leading axis [n, B, ...]
+        — feeds the in-XLA lax.scan gradient accumulation (training/step.py).
+        Off-bucket draws are queued for later windows, so no example is
+        dropped; all n micro-batches share one compiled shape."""
+        first_b, first_idx = self._next_assignment(bucket)
+        group = [(first_b, first_idx)]
+        deferred = []
+        while len(group) < n:
+            b, idx = self._next_assignment()
+            if b == first_b and len(idx) == len(first_idx):
+                group.append((b, idx))
+            else:
+                deferred.append((b, idx))
+        self._pending = deferred + self._pending
+        micro = [self._assemble(b, idx) for b, idx in group]
+        out: Dict[str, np.ndarray] = {}
+        for k in micro[0]:
+            if k == "_bucket":
+                out[k] = micro[0][k]
+            elif k == "sample_size":
+                out[k] = micro[0][k]
+            else:
+                out[k] = np.stack([m[k] for m in micro])
+        return out
+
+    def one_epoch(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield every batch of exactly one fresh epoch — the validation
+        sweep (reference validates the whole val DB, pretrain.py:658-689)."""
+        self._pending.clear()
+        self._iter = None
+        self._new_epoch()
+        self._draws = 0
+        while True:
+            try:
+                b, idx = next(self._iter)
+            except StopIteration:
+                self._iter = None
+                return
+            yield self._assemble(b, idx)
+
+    def _assemble(self, bucket_idx: int,
+                  indices: List[int]) -> Dict[str, np.ndarray]:
+        self._draws += 1
         rng = np.random.default_rng(
-            (self.seed, self._epoch, indices[0], len(indices)))
+            (self.seed, self._epoch, self._draws))
         if hasattr(self.dataset, "prefetch"):
             self.dataset.prefetch(indices)
         examples = []
@@ -122,23 +207,52 @@ class MetaLoader:
 
     def __init__(self, loaders: Dict[str, TaskLoader],
                  ratios: Optional[Dict[str, float]] = None,
-                 accum_steps: int = 1, seed: int = 0):
+                 accum_steps: int = 1, seed: int = 0,
+                 stack_microbatches: bool = False,
+                 sync_buckets: bool = False):
         assert loaders
         self.loaders = loaders
         names = list(loaders.keys())
         r = [1.0 if ratios is None else ratios.get(n, 1.0) for n in names]
         self._pick = deterministic_task_schedule(names, r, seed)
         self.accum_steps = accum_steps
+        # stacked mode: one __next__ per window, batch has a leading
+        # [accum_steps] micro-batch axis for the in-step lax.scan
+        self.stack = stack_microbatches and accum_steps > 1
+        # multi-host: every host must jit the same (task, bucket) program
+        # each step. The task is already a pure function of the window; the
+        # bucket depends on host-local data, so host 0 draws first and
+        # broadcasts its bucket choice (the control-plane collective that
+        # replaces the reference's any_broadcast, data/loader.py:41-45)
+        self.sync_buckets = sync_buckets
         self.step = 0
 
     def __iter__(self):
         return self
 
+    def _synced_batch(self, loader: TaskLoader) -> Dict[str, np.ndarray]:
+        from uc2_tpu.parallel import multihost as MH
+        n = self.accum_steps if self.stack else None
+        if MH.process_index() == 0:
+            batch = (loader.next_stacked(n) if n else loader.next_batch())
+            MH.broadcast_object(int(batch["_bucket"]))
+            return batch
+        b = MH.broadcast_object(None)
+        return (loader.next_stacked(n, bucket=b) if n
+                else loader.next_batch(bucket=b))
+
     def __next__(self) -> Tuple[str, Dict[str, np.ndarray]]:
         window = self.step // self.accum_steps
         name = self._pick(window)
+        loader = self.loaders[name]
+        if self.sync_buckets:
+            self.step += self.accum_steps if self.stack else 1
+            return name, self._synced_batch(loader)
+        if self.stack:
+            self.step += self.accum_steps
+            return name, loader.next_stacked(self.accum_steps)
         self.step += 1
-        return name, self.loaders[name].next_batch()
+        return name, loader.next_batch()
 
 
 class PrefetchLoader:

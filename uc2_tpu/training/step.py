@@ -117,49 +117,60 @@ def make_loss_fn(model: UC2ForPretraining, task: str,
 
 
 # ------------------------------------------------------------- train step
+def _is_stacked(batch) -> bool:
+    """True when the batch carries a leading [accum] micro-batch axis."""
+    return (isinstance(batch, dict) and "input_ids" in batch
+            and batch["input_ids"].ndim == 3)
+
+
+def accumulated_grads(loss_fn: Callable, params, batch, rng):
+    """(grads, metrics) for a plain batch, or the mean over a leading
+    [accum] micro-batch axis via lax.scan — gradient accumulation that
+    never leaves the device (reference gradient_accumulation_steps +
+    delay_unscale, pretrain.py:556-566)."""
+
+    def micro_grads(mb, r):
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, mb, r)
+        return grads, metrics
+
+    if not _is_stacked(batch):
+        return micro_grads(batch, rng)
+
+    A = batch["input_ids"].shape[0]
+    rngs = jax.random.split(rng, A)
+
+    def body(carry, xs):
+        g_acc, m_acc = carry
+        mb, r = xs
+        g, m = micro_grads(mb, r)
+        g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+        m_acc = jax.tree_util.tree_map(jnp.add, m_acc, m)
+        return (g_acc, m_acc), None
+
+    zero_g = jax.tree_util.tree_map(lambda p: jnp.zeros_like(p), params)
+    mb0 = jax.tree_util.tree_map(lambda x: x[0], batch)
+    _, m0 = jax.eval_shape(lambda: micro_grads(mb0, rngs[0]))
+    zero_m = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), m0)
+    (grads, metrics), _ = jax.lax.scan(body, (zero_g, zero_m), (batch, rngs))
+    grads = jax.tree_util.tree_map(lambda g: g / A, grads)
+    metrics = jax.tree_util.tree_map(lambda m: m / A, metrics)
+    return grads, metrics
+
+
 def make_train_step(model: UC2ForPretraining, task: str,
                     tx: optax.GradientTransformation,
                     valid_ids: Optional[np.ndarray] = None,
                     itm_ot_lambda: float = 0.1, ot_pos_only: bool = False,
                     donate: bool = True) -> Callable:
     """fn(state, batch, rng) → (state, metrics). Jit with appropriate
-    shardings at the call site (see parallel/mesh.py)."""
+    shardings at the call site (see parallel/mesh.py). Batches with a
+    leading [accum] axis scan-accumulate in-step."""
     loss_fn = make_loss_fn(model, task, valid_ids, itm_ot_lambda, ot_pos_only)
 
-    def micro_grads(params, batch, rng):
-        (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, batch, rng)
-        return grads, metrics
-
     def step_fn(state: TrainState, batch, rng):
-        if isinstance(batch, dict) and "input_ids" in batch \
-                and batch["input_ids"].ndim == 3:
-            # leading micro-batch axis → scan-accumulate
-            A = batch["input_ids"].shape[0]
-            rngs = jax.random.split(rng, A)
-
-            def body(carry, xs):
-                g_acc, m_acc = carry
-                mb, r = xs
-                g, m = micro_grads(state.params, mb, r)
-                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
-                m_acc = jax.tree_util.tree_map(jnp.add, m_acc, m)
-                return (g_acc, m_acc), None
-
-            zero_g = jax.tree_util.tree_map(
-                lambda p: jnp.zeros_like(p), state.params)
-            mb0 = jax.tree_util.tree_map(lambda x: x[0], batch)
-            _, m0 = jax.eval_shape(lambda: micro_grads(state.params, mb0,
-                                                       rngs[0]))
-            zero_m = jax.tree_util.tree_map(
-                lambda s: jnp.zeros(s.shape, s.dtype), m0)
-            (grads, metrics), _ = jax.lax.scan(
-                body, (zero_g, zero_m), (batch, rngs))
-            grads = jax.tree_util.tree_map(lambda g: g / A, grads)
-            metrics = jax.tree_util.tree_map(lambda m: m / A, metrics)
-        else:
-            grads, metrics = micro_grads(state.params, batch, rng)
-
+        grads, metrics = accumulated_grads(loss_fn, state.params, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
@@ -184,8 +195,7 @@ def make_split_train_step(model: UC2ForPretraining, task: str,
     loss_fn = make_loss_fn(model, task, valid_ids, itm_ot_lambda, ot_pos_only)
 
     def grad_fn(params, batch, rng):
-        (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, batch, rng)
+        grads, metrics = accumulated_grads(loss_fn, params, batch, rng)
         metrics["grad_norm"] = optax.global_norm(grads)
         return grads, metrics
 
