@@ -147,6 +147,17 @@ class StoreReader:
             return self.lib.u2s_num_records(self.handle)
         return len(self._index)
 
+    def keys(self) -> List[str]:
+        """All record keys (index order). The native handle doesn't expose
+        enumeration, so this parses the file index with the python reader."""
+        if self._index is None:
+            tmp = StoreReader(self.path, native=False)
+            try:
+                return [k.decode("utf-8") for k in tmp._index]
+            finally:
+                tmp.close()
+        return [k.decode("utf-8") for k in self._index]
+
     def get_raw(self, key: str) -> Optional[bytes]:
         if self.handle:
             k = key.encode()
