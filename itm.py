@@ -140,7 +140,19 @@ def main(opts):
         if restorer.restore_pending:
             state = restorer.restore(state)
             LOGGER.info("resumed at step %d", int(state.step))
-        saver = ModelSaver(opts.output_dir)
+        if opts.async_ckpt:
+            from uc2_tpu.training.checkpoint import OrbaxCheckpointer
+            ockpt = OrbaxCheckpointer(os.path.join(opts.output_dir,
+                                                   "orbax"))
+
+            def save_milestone(st, step):
+                ockpt.save(step, st.params)
+        else:
+            saver = ModelSaver(opts.output_dir)
+
+            def save_milestone(st, step):
+                saver.save(jax.tree_util.tree_map(
+                    np.asarray, jax.device_get(st.params)), step)
         jit_step = jax.jit(train_step)
         score_fn = jax.jit(
             lambda p, b: model.scores(p, b, deterministic=True))
@@ -190,10 +202,8 @@ def main(opts):
                 LOGGER.info("validation R@K: %s",
                             {k: round(v, 4) for k, v in log.items()})
                 TB_LOGGER.log_scalar_dict(log, prefix="val")
-                if is_main:
-                    saver.save(jax.tree_util.tree_map(
-                        np.asarray, jax.device_get(state.params)),
-                        global_step)
+                if is_main or opts.async_ckpt:
+                    save_milestone(state, global_step)
 
             if (opts.hard_neg_size > 0 and opts.hard_neg_steps
                     and global_step % opts.hard_neg_steps == 0):
@@ -272,6 +282,8 @@ def build_parser():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--n_model", type=int, default=1)
+    p.add_argument("--async_ckpt", action="store_true",
+                   help="milestone checkpoints via orbax")
     # multi-host (reference: horovodrun -np N, README.md:32-42)
     p.add_argument("--coordinator_address", type=str, default=None,
                    help="host:port of process 0 — enables "

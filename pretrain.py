@@ -212,7 +212,21 @@ def main(opts):
         if restorer.restore_pending:
             state = restorer.restore(state)
             LOGGER.info("restored training at step %d", int(state.step))
-        saver = ModelSaver(opts.output_dir)
+        if opts.async_ckpt:
+            # orbax sharded/async milestone checkpoints (reference two-tier
+            # cadence, utils/save.py:58-213; restorer keeps the rotation)
+            from uc2_tpu.training.checkpoint import OrbaxCheckpointer
+            ockpt = OrbaxCheckpointer(os.path.join(opts.output_dir,
+                                                   "orbax"))
+
+            def save_milestone(st, step):
+                ockpt.save(step, st.params)
+        else:
+            saver = ModelSaver(opts.output_dir)
+
+            def save_milestone(st, step):
+                saver.save(jax.tree_util.tree_map(np.asarray, st.params),
+                           step)
 
         steps = {}
 
@@ -334,18 +348,15 @@ def main(opts):
 
             if opts.valid_steps and global_step % opts.valid_steps == 0:
                 validate(model, state, val, buckets, valid_ids, opts, mesh)
-                if is_main:
-                    saver.save(jax.tree_util.tree_map(np.asarray,
-                                                      state.params),
-                               global_step)
+                if is_main or opts.async_ckpt:
+                    save_milestone(state, global_step)
             if is_main:
                 restorer.step(global_step, state)
 
         if opts.valid_steps and global_step % opts.valid_steps != 0:
             validate(model, state, val, buckets, valid_ids, opts, mesh)
-            if is_main:
-                saver.save(jax.tree_util.tree_map(np.asarray, state.params),
-                           global_step)
+            if is_main or opts.async_ckpt:
+                save_milestone(state, global_step)
         LOGGER.info("training done at step %d", global_step)
         return state
 
@@ -481,6 +492,10 @@ def build_parser():
     p.add_argument("--lm_ce_chunks", type=int, default=0,
                    help="stream the 250k-vocab MLM CE in N chunks "
                         "(identical math, O(1/N) logits memory)")
+    p.add_argument("--async_ckpt", action="store_true",
+                   help="milestone checkpoints via orbax (sharded, "
+                        "multi-host collective save) instead of the "
+                        "single-host msgpack ModelSaver")
     p.add_argument("--split_step", action="store_true",
                    help="jit grad and optimizer-apply as separate programs "
                         "(smaller compiles, donated buffers)")

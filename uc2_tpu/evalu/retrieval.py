@@ -190,9 +190,12 @@ def full_retrieval_eval(model, params, txt_db, img_db, txt_len: int,
     txt2img = txt_db.txt2img
     img2txts = txt_db.img2txts
     txt_ids = list(txt_ids if txt_ids is not None else txt_db.ids)
-    # images sorted by nbb for cache friendliness (reference data/itm.py:905)
+    # images sorted by nbb for cache friendliness (reference data/itm.py:905);
+    # name tie-break keeps the column order identical on every host — a
+    # bare nbb sort inherits set-iteration order, which PYTHONHASHSEED
+    # randomizes per process and would desynchronize the multi-host merge
     img_ids = sorted({txt2img[t] for t in txt_ids},
-                     key=lambda im: img_db.name2nbb[im])
+                     key=lambda im: (img_db.name2nbb[im], im))
     world = MH.process_count()
     if world > 1 and shard_hosts:
         rank = MH.process_index()

@@ -73,30 +73,61 @@ def param_shardings(mesh: Mesh, params) -> Any:
     return jax.tree_util.tree_map_with_path(f, params)
 
 
-def batch_shardings(mesh: Mesh, batch) -> Any:
-    """Batch arrays shard over 'data' on the leading axis; scalars (and
-    arrays whose leading dim the data axis doesn't divide — e.g. ragged
-    trailing eval batches) replicate."""
+def batch_shardings(mesh: Mesh, batch, stacked: bool = False) -> Any:
+    """Batch arrays shard over 'data' on the batch axis; scalars (and
+    arrays whose batch dim the data axis doesn't divide — e.g. ragged
+    trailing eval batches) replicate.
+
+    ``stacked``: the batch carries a leading [accum] micro-batch axis
+    (lax.scan gradient accumulation) — the data axis is then axis 1.
+    """
     n_data = mesh.shape["data"]
+    # multi-process: each host holds only its local slice of the batch, so
+    # divisibility is judged against the host-local share of the data axis
+    n_local = max(1, n_data // jax.process_count())
+    axis = 1 if stacked else 0
     def f(x):
-        if (hasattr(x, "ndim") and getattr(x, "ndim", 0) >= 1
-                and x.shape[0] % n_data == 0):
-            return NamedSharding(mesh, P("data"))
+        if (hasattr(x, "ndim") and getattr(x, "ndim", 0) >= axis + 1
+                and x.shape[axis] % n_local == 0):
+            return NamedSharding(mesh, P(*([None] * axis), "data"))
         return NamedSharding(mesh, P())
     return jax.tree_util.tree_map(f, batch)
 
 
 def shard_params(mesh: Mesh, params):
-    """Place a (host-local numpy) param tree onto the mesh."""
+    """Place a param tree onto the mesh. Every host holds the full fp32
+    copy (same seed / same checkpoint → identical, replacing the reference's
+    start-of-training broadcast, pretrain.py:457); in multi-process mode
+    each host serves only its addressable shards via callback."""
     shardings = param_shardings(mesh, params)
-    return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, s), params, shardings)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, s), params, shardings)
+
+    def put(x, s):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, s,
+                                            lambda idx: x[idx])
+    return jax.tree_util.tree_map(put, params, shardings)
 
 
-def shard_batch(mesh: Mesh, batch):
-    shardings = batch_shardings(mesh, batch)
-    return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, s), batch, shardings)
+def shard_batch(mesh: Mesh, batch, stacked: bool = False):
+    """Place a host-local numpy batch onto the mesh.
+
+    Single-process: plain device_put per sharding. Multi-process: each host
+    contributes its local slice of the global batch (the per-host data
+    shard, reference data/data.py:201-203) via
+    ``jax.make_array_from_process_local_data`` — the global batch is the
+    concatenation of every host's arrays along the data axis.
+    """
+    shardings = batch_shardings(mesh, batch, stacked=stacked)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, s), batch, shardings)
+
+    def put(x, s):
+        return jax.make_array_from_process_local_data(s, np.asarray(x))
+    return jax.tree_util.tree_map(put, batch, shardings)
 
 
 def replicate(mesh: Mesh, tree):

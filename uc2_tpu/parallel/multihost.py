@@ -19,6 +19,30 @@ from typing import Any, List
 import numpy as np
 
 
+def maybe_initialize(coordinator_address: str = None,
+                     num_processes: int = None,
+                     process_id: int = None) -> bool:
+    """`jax.distributed.initialize` when a coordinator is configured —
+    the TPU-native replacement for hvd.init() (reference pretrain.py:384-388).
+    Flags may also come from the standard JAX env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID); with
+    neither flags nor env set, this is a no-op (single-process)."""
+    import os
+    import jax
+    coordinator_address = (coordinator_address
+                           or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if coordinator_address is None:
+        return False
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
 def process_count() -> int:
     import jax
     return jax.process_count()
