@@ -34,7 +34,8 @@ def synth_corpus(out_dir: str, n_imgs: int = 32, txt_per_img: int = 2,
                  n_classes: int = 1601, min_bb: int = 10, max_bb: int = 100,
                  seed: int = 0, paired: bool = False, langs=("en", "de"),
                  max_words: int = 12, compress: bool = True,
-                 soft_label_dim: Optional[int] = None) -> Dict[str, str]:
+                 soft_label_dim: Optional[int] = None,
+                 fname_prefix: str = "coco") -> Dict[str, str]:
     """Writes {out_dir}/txt_db and {out_dir}/img_db (+ optional soft-label db).
 
     paired=True emits translation-pair records with word2ids/walign fields.
@@ -49,7 +50,7 @@ def synth_corpus(out_dir: str, n_imgs: int = 32, txt_per_img: int = 2,
     os.makedirs(img_dir, exist_ok=True)
 
     # ---- image db
-    fnames = [f"coco_{i:06d}.npz" for i in range(n_imgs)]
+    fnames = [f"{fname_prefix}_{i:06d}.npz" for i in range(n_imgs)]
     with StoreWriter(os.path.join(img_dir, "feat.u2s"),
                      compress=compress) as w:
         for f in fnames:
