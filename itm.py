@@ -235,6 +235,8 @@ def main(opts):
             with open(os.path.join(opts.output_dir, "test_results.json"),
                       "w") as f:
                 json.dump(results, f, indent=2)
+        if opts.async_ckpt:
+            ockpt.wait()          # finalize in-flight async saves
         return state, results
 
 

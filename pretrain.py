@@ -357,6 +357,8 @@ def main(opts):
             validate(model, state, val, buckets, valid_ids, opts, mesh)
             if is_main or opts.async_ckpt:
                 save_milestone(state, global_step)
+        if opts.async_ckpt:
+            ockpt.wait()          # finalize in-flight async saves
         LOGGER.info("training done at step %d", global_step)
         return state
 

@@ -1,72 +1,233 @@
-"""One-shot TPU measurement job: train-step throughput + scoring bench.
-Run detached; appends results to bench_results.txt. Never interrupt it —
-the axon tunnel wedges for ~30min if a client dies mid-RPC."""
-import sys, time, tempfile, numpy as np
-sys.path.insert(0, "/root/repo")
-LOG = open("/root/repo/bench_results.txt", "a")
+#!/usr/bin/env python
+"""Parameterized TPU measurement tool (consolidates the round-1 one-off
+tpu_measure*.py scripts; numbers recorded in BASELINE.md).
+
+Subcommands:
+  score   chained ITM scoring throughput at a given (B, Lt, Nb)
+  ab      in-process A/B of scoring with xla vs pallas attention
+  train   split-program train-step throughput for any pretrain task
+  eval    score_matrix throughput over a synthetic gallery
+
+Measurement method (see bench.py docstring): through this image's axon
+tunnel `block_until_ready()` does not block, so every measurement chains
+its iterations inside ONE jitted lax.scan (inputs perturbed per iteration
+to prevent hoisting) and syncs via a device→host scalar. Run detached;
+killing a client mid-RPC wedges the tile lease ~30min.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+LOG = None
+
+
 def log(*a):
-    print(*a, file=LOG, flush=True)
     print(*a, flush=True)
+    if LOG:
+        print(*a, file=LOG, flush=True)
 
-log("=== tpu_measure start", time.strftime("%H:%M:%S"))
-import jax, jax.numpy as jnp
-t0=time.time()
-_ = float(jnp.sum(jnp.ones((8,8))))
-log("tunnel ready after", round(time.time()-t0,1), "s")
 
-from uc2_tpu.config import UC2Config
-from uc2_tpu.data.synth import synth_corpus
-from uc2_tpu.data.db import DetectFeatDb, TxtTokDb
-from uc2_tpu.data.collate import default_buckets
-from uc2_tpu.data.loader import TaskLoader
-from uc2_tpu.data import datasets as D
-from uc2_tpu.models.pretraining import UC2ForPretraining
-from uc2_tpu.training import optim as O
-from uc2_tpu.training.step import create_train_state, make_train_step
+def _scoring_batch(rng, B, Lt, Nb, vocab=250002, img_dim=2048):
+    import jax.numpy as jnp
+    ids = rng.integers(4, vocab, (B, Lt)).astype(np.int32)
+    ids[:, 0] = 0
+    return {
+        "input_ids": jnp.asarray(ids),
+        "img_feat": jnp.asarray(
+            rng.standard_normal((B, Nb, img_dim)).astype(np.float32)),
+        "img_pos_feat": jnp.asarray(rng.random((B, Nb, 7)).astype(np.float32)),
+        "attn_mask": jnp.ones((B, Lt + Nb), jnp.int32),
+    }
 
-out = tempfile.mkdtemp()
-corpus = synth_corpus(out, n_imgs=120, txt_per_img=2, min_bb=10, max_bb=100, img_dim=2048, n_classes=1601, seed=1)
-txt = TxtTokDb(corpus["txt_db"]); img = DetectFeatDb(corpus["img_db"])
-buckets = default_buckets(60, 100, 10240)
-tl = TaskLoader("mlm", D.MlmDataset(txt, img), buckets, seed=0)
-cfg = UC2Config(dtype="bfloat16")
-model = UC2ForPretraining(cfg)
-t0=time.time()
-params = model.init_params(jax.random.PRNGKey(0))
-log("init params", round(time.time()-t0,1), "s")
-tx = O.build_optimizer(params, O.constant(4e-5), grad_norm=5.0)
-t0=time.time()
-state = jax.jit(lambda p: create_train_state(p, tx))(params)
-log("opt init", round(time.time()-t0,1), "s")
-step = jax.jit(make_train_step(model, "mlm", tx))
-while True:
-    b = tl.next_batch()
-    if b.pop("_bucket") == 2: break
-B, M = b["input_ids"].shape[0], b["masked_pos"].shape[1]
-t0=time.time()
-state, m = step(state, b, jax.random.PRNGKey(0)); float(m["loss"])
-log("train step compile+first:", round(time.time()-t0,1), "s")
-n=10
-t0=time.perf_counter()
-for i in range(n):
-    state, m = step(state, b, jax.random.PRNGKey(i))
-_ = float(m["loss"])
-dt=time.perf_counter()-t0
-log(f"RESULT mlm train step (Lt=62,Nb=100,B={B},M={M}): {n/dt:.2f} steps/s, {B*n/dt:.0f} ex/s")
 
-# middle bucket too (Lt=42,Nb=64)
-tl2 = TaskLoader("mlm", D.MlmDataset(txt, img), buckets, seed=1)
-while True:
-    b2 = tl2.next_batch()
-    if b2.pop("_bucket") == 1: break
-B2, M2 = b2["input_ids"].shape[0], b2["masked_pos"].shape[1]
-t0=time.time()
-state, m = step(state, b2, jax.random.PRNGKey(0)); float(m["loss"])
-log("bucket-1 compile:", round(time.time()-t0,1), "s")
-t0=time.perf_counter()
-for i in range(n):
-    state, m = step(state, b2, jax.random.PRNGKey(i))
-_ = float(m["loss"])
-dt=time.perf_counter()-t0
-log(f"RESULT mlm train step (Lt=42,Nb=64,B={B2},M={M2}): {n/dt:.2f} steps/s, {B2*n/dt:.0f} ex/s")
-log("=== tpu_measure done", time.strftime("%H:%M:%S"))
+def _score_chain(model, params, batch, n_iters):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(params, batch):
+        def body(c, _):
+            b = dict(batch)
+            b["img_feat"] = batch["img_feat"] + c * 1e-30
+            s = model.scores(params, b, deterministic=True)
+            return jnp.mean(s), None
+        last, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n_iters)
+        return last
+
+    float(chain(params, batch))          # compile + warm
+    return chain
+
+
+def cmd_score(args):
+    import jax
+    from uc2_tpu.config import UC2Config
+    from uc2_tpu.models.finetune import UC2ForImageTextRetrieval
+    cfg = UC2Config(dtype=args.dtype,
+                    use_pallas_attention=args.attention == "pallas")
+    model = UC2ForImageTextRetrieval(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    batch = _scoring_batch(rng, args.batch, args.txt_len, args.num_bb)
+    chain = _score_chain(model, params, batch, args.iters)
+    for trial in range(args.trials):
+        t0 = time.perf_counter()
+        float(chain(params, batch))
+        dt = time.perf_counter() - t0
+        log(f"RESULT score B={args.batch} Lt={args.txt_len} Nb={args.num_bb} "
+            f"attn={args.attention} trial{trial}: "
+            f"{args.batch * args.iters / dt:.0f} pairs/s")
+
+
+def cmd_ab(args):
+    import jax
+    from uc2_tpu.config import UC2Config
+    from uc2_tpu.models.finetune import UC2ForImageTextRetrieval
+    rng = np.random.default_rng(0)
+    batch = _scoring_batch(rng, args.batch, args.txt_len, args.num_bb)
+    chains = {}
+    params = None
+    for impl in ("xla", "pallas"):
+        cfg = UC2Config(dtype=args.dtype,
+                        use_pallas_attention=impl == "pallas")
+        model = UC2ForImageTextRetrieval(cfg)
+        if params is None:
+            params = model.init_params(jax.random.PRNGKey(0))
+        chains[impl] = _score_chain(model, params, batch, args.iters)
+    for trial in range(args.trials):
+        row = []
+        for impl, chain in chains.items():
+            t0 = time.perf_counter()
+            float(chain(params, batch))
+            dt = time.perf_counter() - t0
+            row.append(f"{impl}={args.batch * args.iters / dt:.0f}")
+        log(f"RESULT A/B Lt={args.txt_len} Nb={args.num_bb} trial{trial}: "
+            + " ".join(row) + " pairs/s")
+
+
+def cmd_train(args):
+    import jax
+    import jax.numpy as jnp
+    from uc2_tpu.config import UC2Config
+    from uc2_tpu.models.pretraining import UC2ForPretraining
+    from uc2_tpu.training import optim as O
+    from uc2_tpu.training.step import make_split_train_step
+    rng = np.random.default_rng(0)
+    cfg = UC2Config(dtype=args.dtype, remat=args.remat)
+    model = UC2ForPretraining(cfg, lm_ce_chunks=args.ce_chunks)
+    params = model.init_params(jax.random.PRNGKey(0))
+    tx = O.build_optimizer(params, O.constant(4e-5), grad_norm=5.0)
+    g, a = make_split_train_step(model, args.task, tx)
+    gj = jax.jit(g)
+    aj = jax.jit(a, donate_argnums=(0, 1, 2))
+    opt_state = jax.jit(tx.init)(params)
+    B, Lt, Nb, M = args.batch, args.txt_len, args.num_bb, args.masked
+    batch = _scoring_batch(rng, B, Lt, Nb, cfg.vocab_size)
+    if M:
+        batch["masked_pos"] = jnp.asarray(
+            rng.integers(1, Lt, (B, M)).astype(np.int32))
+        batch["masked_weight"] = jnp.ones((B, M), np.float32)
+        batch["txt_labels"] = jnp.asarray(
+            rng.integers(4, cfg.vocab_size, (B, M)).astype(np.int32))
+    if args.task.startswith("itm"):
+        batch["targets"] = jnp.asarray(
+            rng.integers(0, 2, (B,)).astype(np.int32))
+    t0 = time.time()
+    grads, m = gj(params, batch, jax.random.PRNGKey(0))
+    float(m["loss"])
+    params, opt_state = aj(grads, opt_state, params)
+    log(f"compile {args.task} B={B}: {time.time() - t0:.1f}s")
+    n = args.iters
+    p, s = params, opt_state
+    t0 = time.perf_counter()
+    for i in range(n):
+        grads, m = gj(p, batch, jax.random.PRNGKey(i))
+        p, s = aj(grads, s, p)
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+    log(f"RESULT train {args.task} B={B} M={M}: {n / dt:.2f} steps/s, "
+        f"{B * n / dt:.0f} ex/s")
+
+
+def cmd_eval(args):
+    import jax
+    from uc2_tpu.config import UC2Config
+    from uc2_tpu.data.db import DetectFeatDb, TxtTokDb
+    from uc2_tpu.data.synth import synth_corpus
+    from uc2_tpu.evalu.retrieval import score_matrix
+    from uc2_tpu.models.finetune import UC2ForImageTextRetrieval
+    out = "/tmp/tpu_measure_eval_corpus"
+    corpus = synth_corpus(out, n_imgs=args.n_img,
+                          txt_per_img=max(1, args.n_txt // args.n_img),
+                          min_bb=10, max_bb=args.num_bb, seed=0)
+    cfg = UC2Config(dtype=args.dtype)
+    model = UC2ForImageTextRetrieval(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    tdb = TxtTokDb(corpus["txt_db"], max_txt_len=args.txt_len - 2)
+    idb = DetectFeatDb(corpus["img_db"], 0.2, args.num_bb, 10, 36)
+    tids = list(tdb.ids)[:args.n_txt]
+    iids = sorted({tdb.txt2img[t] for t in tids},
+                  key=lambda im: (idb.name2nbb[im], im))
+    t0 = time.perf_counter()
+    m = score_matrix(model, params, tdb, idb, tids, iids, args.txt_len,
+                     args.num_bb, batch_size=args.batch)
+    dt = time.perf_counter() - t0
+    log(f"RESULT eval {len(tids)}x{len(iids)} (incl. compile): "
+        f"{m.size / dt:.0f} pairs/s")
+    t0 = time.perf_counter()
+    score_matrix(model, params, tdb, idb, tids, iids, args.txt_len,
+                 args.num_bb, batch_size=args.batch)
+    dt = time.perf_counter() - t0
+    log(f"RESULT eval {len(tids)}x{len(iids)} (warm): "
+        f"{m.size / dt:.0f} pairs/s")
+
+
+def main():
+    global LOG
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--log", default="bench_results.txt",
+                    help="append results here ('' to disable)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--batch", type=int, default=64)
+        p.add_argument("--txt_len", type=int, default=62)
+        p.add_argument("--num_bb", type=int, default=100)
+        p.add_argument("--iters", type=int, default=20)
+        p.add_argument("--trials", type=int, default=3)
+        p.add_argument("--dtype", default="bfloat16")
+
+    ps = sub.add_parser("score"); common(ps)
+    ps.add_argument("--attention", choices=["xla", "pallas"], default="xla")
+    pa = sub.add_parser("ab"); common(pa)
+    pt = sub.add_parser("train"); common(pt)
+    pt.add_argument("--task", default="mlm")
+    pt.add_argument("--masked", type=int, default=24)
+    pt.add_argument("--remat", default=None)
+    pt.add_argument("--ce_chunks", type=int, default=0)
+    pt.set_defaults(iters=8)
+    pe = sub.add_parser("eval"); common(pe)
+    pe.add_argument("--n_txt", type=int, default=256)
+    pe.add_argument("--n_img", type=int, default=128)
+
+    args = ap.parse_args()
+    if args.log:
+        LOG = open(args.log, "a")
+    log(f"=== tpu_measure {args.cmd} start", time.strftime("%H:%M:%S"))
+    import jax
+    import jax.numpy as jnp
+    t0 = time.time()
+    float(jnp.sum(jnp.ones((8, 8))))
+    log("device ready", round(time.time() - t0, 1))
+    {"score": cmd_score, "ab": cmd_ab, "train": cmd_train,
+     "eval": cmd_eval}[args.cmd](args)
+    log(f"=== tpu_measure {args.cmd} done", time.strftime("%H:%M:%S"))
+
+
+if __name__ == "__main__":
+    main()
