@@ -1,0 +1,108 @@
+"""flash_attention_train (in-kernel dropout + full Pallas backward) —
+correctness in interpreter mode on the CPU mesh.
+
+  * rate=0: forward and all gradients match the XLA einsum attention.
+  * rate>0: dropout statistics (keep fraction, 1/(1-rate) scaling) via an
+    identity-value trick that exposes the dropped prob matrix.
+  * rate>0: the custom backward IS the gradient of the forward (directional
+    finite differences) — which also proves fwd/bwd regenerate the same
+    mask from the seed.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uc2_tpu.ops.attention import _xla_attention
+from uc2_tpu.ops.flash_attention import flash_attention_train
+
+B, L, n, d = 2, 128, 2, 32
+
+
+def _inputs(seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((B, L, n, d)), dtype)
+    k = jnp.asarray(rng.standard_normal((B, L, n, d)), dtype)
+    v = jnp.asarray(rng.standard_normal((B, L, n, d)), dtype)
+    mask = (rng.random((B, L)) < 0.8).astype(np.float32)
+    mask[:, :4] = 1.0
+    bias = jnp.asarray(((1.0 - mask) * -10000.0)[:, None, None, :],
+                       jnp.float32)
+    return q, k, v, bias
+
+
+def test_rate0_matches_xla_forward_and_grads():
+    q, k, v, bias = _inputs()
+    fa = functools.partial(flash_attention_train, rate=0.0, interpret=True)
+    out = fa(q, k, v, bias, jnp.int32(7))
+    ref = _xla_attention(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    w = jnp.asarray(np.random.default_rng(1).standard_normal(out.shape),
+                    jnp.float32)
+    g = jax.grad(lambda q, k, v, bias: jnp.sum(
+        fa(q, k, v, bias, jnp.int32(7)) * w), argnums=(0, 1, 2, 3))
+    gr = jax.grad(lambda q, k, v, bias: jnp.sum(
+        _xla_attention(q, k, v, bias) * w), argnums=(0, 1, 2, 3))
+    for a, b, name in zip(g(q, k, v, bias), gr(q, k, v, bias),
+                          ("dq", "dk", "dv", "dbias")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_dropout_statistics():
+    """q=k=0, bias=0 → p uniform 1/L; v=I (L==d padding trick is avoided by
+    reading context of basis vectors) — instead use L==d via a reshaped
+    identity on the first head."""
+    rate = 0.5
+    Ld = 128
+    q = jnp.zeros((1, Ld, 1, Ld), jnp.float32)
+    k = jnp.zeros((1, Ld, 1, Ld), jnp.float32)
+    v = jnp.eye(Ld, dtype=jnp.float32).reshape(1, Ld, 1, Ld)
+    bias = jnp.zeros((1, 1, 1, Ld), jnp.float32)
+    out = flash_attention_train(q, k, v, bias, jnp.int32(3), rate=rate,
+                                interpret=True)
+    pd = np.asarray(out).reshape(Ld, Ld)   # dropped-and-scaled prob matrix
+    expected = 1.0 / (Ld * (1.0 - rate))
+    nz = pd[pd > 1e-9]
+    assert np.allclose(nz, expected, rtol=1e-4), (nz[:4], expected)
+    keep_frac = (pd > 1e-9).mean()
+    assert abs(keep_frac - (1.0 - rate)) < 0.03, keep_frac
+    # different seed → different mask
+    out2 = flash_attention_train(q, k, v, bias, jnp.int32(4), rate=rate,
+                                 interpret=True)
+    assert not np.array_equal(np.asarray(out), np.asarray(out2))
+    # same seed → identical mask
+    out3 = flash_attention_train(q, k, v, bias, jnp.int32(3), rate=rate,
+                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out3))
+
+
+@pytest.mark.parametrize("rate", [0.0, 0.3])
+def test_backward_is_gradient_of_forward(rate):
+    q, k, v, bias = _inputs(2)
+    w = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (B, L, n, d)), jnp.float32)
+
+    def f(q, k, v):
+        return jnp.sum(flash_attention_train(
+            q, k, v, bias, jnp.int32(11), rate=rate, interpret=True) * w)
+
+    grads = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    rng = np.random.default_rng(4)
+    eps = 1e-3
+    for arg_idx, name in ((0, "q"), (1, "k"), (2, "v")):
+        direction = jnp.asarray(
+            rng.standard_normal(q.shape).astype(np.float32))
+        args_p = [q, k, v]
+        args_m = [q, k, v]
+        args_p[arg_idx] = args_p[arg_idx] + eps * direction
+        args_m[arg_idx] = args_m[arg_idx] - eps * direction
+        fd = (f(*args_p) - f(*args_m)) / (2 * eps)
+        an = jnp.sum(grads[arg_idx] * direction)
+        assert float(fd) == pytest.approx(float(an), rel=2e-2, abs=2e-2), \
+            (name, float(fd), float(an))

@@ -88,12 +88,22 @@ def multi_head_attention(q, k, v, bias, dropout_rate: float = 0.0,
     (pretraining uses attention_probs_dropout_prob=0.1 → XLA path).
     """
     impl = {False: "xla", True: "pallas"}.get(use_pallas, use_pallas)
-    if impl != "xla" and _on_tpu() and dropout_rate == 0.0:
+    if impl != "xla" and _on_tpu():
         try:
-            if impl == "flash":
-                return _stock_flash_attention(q, k, v, bias)
-            from uc2_tpu.ops.flash_attention import flash_attention
-            return flash_attention(q, k, v, bias)
+            if dropout_rate > 0.0 and dropout_rng is not None \
+                    and impl == "pallas":
+                # training path: in-kernel probs dropout + Pallas backward
+                # (reference dropout-after-softmax, model/layer.py:99-101)
+                from uc2_tpu.ops.flash_attention import flash_attention_train
+                seed = jax.random.randint(dropout_rng, (), 0, 2 ** 31 - 1,
+                                          dtype=jnp.int32)
+                return flash_attention_train(q, k, v, bias, seed,
+                                             rate=float(dropout_rate))
+            if dropout_rate == 0.0:
+                if impl == "flash":
+                    return _stock_flash_attention(q, k, v, bias)
+                from uc2_tpu.ops.flash_attention import flash_attention
+                return flash_attention(q, k, v, bias)
         except ImportError:
             pass
     return _xla_attention(q, k, v, bias, dropout_rate, dropout_rng)

@@ -11,10 +11,12 @@ HBM — the win over the unfused XLA path, which materializes the
 Semantics match ops/attention.py::_xla_attention exactly: additive bias
 (-10000-masked, broadcast over heads/queries), fp32 softmax, bf16 context.
 
-Backward: custom_vjp that recomputes attention with the XLA einsum path —
-correct gradients everywhere, kernel-accelerated forward for the inference-
-heavy paths (ITM scoring is the headline benchmark). A full Pallas backward
-is a planned optimization.
+Two entry points:
+  * ``flash_attention`` — inference forward (v3 batch-blocked kernel);
+    backward falls back to the XLA einsum recompute.
+  * ``flash_attention_train`` — training: in-kernel attention-probs dropout
+    (pltpu PRNG, mask regenerated from the seed) with a full Pallas
+    backward. Nothing [L, L]-shaped touches HBM in either pass.
 """
 
 from __future__ import annotations
@@ -145,6 +147,195 @@ def _fwd_pallas_v3(q, k, v, bias, batch_block: int = 0):
             transcendentals=B * n * L * L),
     )(qt, kt, vt, bias)
     return out.transpose(0, 2, 1, 3)
+
+
+# --------------------------------------------------------------- training
+# Forward with in-kernel attention-probs dropout (pltpu PRNG) + a full
+# Pallas backward that regenerates the identical mask from the same seed —
+# so pretraining (attention_probs_dropout_prob=0.1, reference
+# model/layer.py:99-101) runs the kernel instead of falling back to XLA,
+# and nothing [L, L]-shaped is ever written to HBM in either pass.
+
+
+def _keep_mask(seed, cell, shape, rate, interpret=False):
+    """Deterministic per-cell keep mask — identical in fwd and bwd.
+
+    TPU: pltpu PRNG seeded with (seed + grid cell). Interpreter mode (CPU
+    tests) lacks the TPU PRNG primitives, so it derives an equivalent mask
+    from jax.random — same (seed, cell) determinism, same keep rate."""
+    if interpret:
+        key = jax.random.fold_in(jax.random.key(seed), cell)
+        return jax.random.uniform(key, shape) >= rate
+    pltpu.prng_seed(seed + cell)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return bits >= jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
+
+
+def _probs(q, k, bias, scale, BB, n, L):
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # [BB*n, L, L]
+    s = s.reshape(BB, n, L, L) * scale + bias.astype(jnp.float32)
+    s = s.reshape(BB * n, L, L)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)      # fp32 [BB*n, L, L]
+
+
+def _attn_train_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
+                           *, scale, n, L, d, rate, interpret=False):
+    BB = q_ref.shape[0]
+    q = q_ref[...].reshape(BB * n, L, d)
+    k = k_ref[...].reshape(BB * n, L, d)
+    v = v_ref[...].reshape(BB * n, L, d)
+    bias = bias_ref[...].reshape(BB, 1, 1, L)
+    p = _probs(q, k, bias, scale, BB, n, L)
+    if rate > 0.0:
+        keep = _keep_mask(seed_ref[0], pl.program_id(0), p.shape, rate,
+                          interpret)
+        p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o_ref[...] = o.reshape(BB, n, L, d).astype(o_ref.dtype)
+
+
+def _attn_train_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
+                           dq_ref, dk_ref, dv_ref, db_ref,
+                           *, scale, n, L, d, rate, interpret=False):
+    BB = q_ref.shape[0]
+    q = q_ref[...].reshape(BB * n, L, d)
+    k = k_ref[...].reshape(BB * n, L, d)
+    v = v_ref[...].reshape(BB * n, L, d)
+    g = g_ref[...].reshape(BB * n, L, d)
+    bias = bias_ref[...].reshape(BB, 1, 1, L)
+    p = _probs(q, k, bias, scale, BB, n, L)
+    if rate > 0.0:
+        keep = _keep_mask(seed_ref[0], pl.program_id(0), p.shape, rate,
+                          interpret)
+        pd = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+    else:
+        pd = p
+    # dv = pdᵀ · g (contract over queries)
+    dv = jax.lax.dot_general(
+        pd.astype(g.dtype), g,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # [BB*n, L, d]
+    # d(pd) = g · vᵀ
+    dpd = jax.lax.dot_general(
+        g, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # [BB*n, Lq, Lk]
+    if rate > 0.0:
+        dp = jnp.where(keep, dpd * (1.0 / (1.0 - rate)), 0.0)
+    else:
+        dp = dpd
+    # softmax vjp: ds = p ⊙ (dp − Σ_k dp ⊙ p)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dsl = ds.astype(q.dtype)
+    dq = jax.lax.dot_general(
+        dsl, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(
+        dsl, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+    dq_ref[...] = dq.reshape(BB, n, L, d).astype(dq_ref.dtype)
+    dk_ref[...] = dk.reshape(BB, n, L, d).astype(dk_ref.dtype)
+    dv_ref[...] = dv.reshape(BB, n, L, d).astype(dv_ref.dtype)
+    # bias broadcasts over heads and queries → sum both
+    db = jnp.sum(ds.reshape(BB, n, L, L), axis=(1, 2))
+    db_ref[...] = db.reshape(BB, 1, 1, L)
+
+
+def _train_bb(B, n, L, tensors=3):
+    bb = max(1, (4 * 1024 * 1024) // (tensors * n * L * L * 4))
+    return math.gcd(bb, B)
+
+
+def _fwd_train(q, k, v, bias, seed, rate, interpret=False):
+    B, L, n, d = q.shape
+    qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+    BB = _train_bb(B, n, L, tensors=2)
+    kernel = functools.partial(_attn_train_fwd_kernel,
+                               scale=1.0 / math.sqrt(d), n=n, L=L, d=d,
+                               rate=float(rate), interpret=interpret)
+    # index maps under PrefetchScalarGridSpec also receive the scalar refs
+    spec = lambda shape: pl.BlockSpec(shape, lambda b, *_: (b, 0, 0, 0),
+                                      memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B // BB,),
+            in_specs=[spec((BB, n, L, d))] * 3 + [spec((BB, 1, 1, L))],
+            out_specs=spec((BB, n, L, d)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, n, L, d), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * n * L * L * d,
+            bytes_accessed=(4 * B * L * n * d) * q.dtype.itemsize,
+            transcendentals=B * n * L * L),
+    )(jnp.asarray(seed, jnp.int32).reshape(1), qt, kt, vt, bias)
+    return out.transpose(0, 2, 1, 3)
+
+
+def _bwd_train(q, k, v, bias, seed, rate, g, interpret=False):
+    B, L, n, d = q.shape
+    qt, kt, vt, gt = (x.transpose(0, 2, 1, 3) for x in (q, k, v, g))
+    BB = _train_bb(B, n, L, tensors=4)
+    kernel = functools.partial(_attn_train_bwd_kernel,
+                               scale=1.0 / math.sqrt(d), n=n, L=L, d=d,
+                               rate=float(rate), interpret=interpret)
+    spec = lambda shape: pl.BlockSpec(shape, lambda b, *_: (b, 0, 0, 0),
+                                      memory_space=pltpu.VMEM)
+    dq, dk, dv, db = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B // BB,),
+            in_specs=[spec((BB, n, L, d))] * 3 + [spec((BB, 1, 1, L)),
+                                                  spec((BB, n, L, d))],
+            out_specs=(spec((BB, n, L, d)), spec((BB, n, L, d)),
+                       spec((BB, n, L, d)), spec((BB, 1, 1, L))),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((B, n, L, d), q.dtype),
+                   jax.ShapeDtypeStruct((B, n, L, d), k.dtype),
+                   jax.ShapeDtypeStruct((B, n, L, d), v.dtype),
+                   jax.ShapeDtypeStruct((B, 1, 1, L), jnp.float32)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=11 * B * n * L * L * d,
+            bytes_accessed=(8 * B * L * n * d) * q.dtype.itemsize,
+            transcendentals=B * n * L * L),
+    )(jnp.asarray(seed, jnp.int32).reshape(1), qt, kt, vt, bias, gt)
+    return (dq.transpose(0, 2, 1, 3), dk.transpose(0, 2, 1, 3),
+            dv.transpose(0, 2, 1, 3), db.astype(bias.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def flash_attention_train(q, k, v, bias, seed, rate=0.0, interpret=False):
+    """Training attention: q,k,v [B, L, n, d], bias [B, 1, 1, L] additive,
+    ``seed`` an int32 scalar (traced OK) deriving the per-cell dropout
+    streams, ``rate`` the attention-probs dropout rate (static). Full
+    Pallas fwd+bwd; the bwd regenerates the identical keep mask."""
+    return _fwd_train(q, k, v, bias, seed, rate, interpret)
+
+
+def _fat_fwd(q, k, v, bias, seed, rate, interpret):
+    out = _fwd_train(q, k, v, bias, seed, rate, interpret)
+    return out, (q, k, v, bias, seed)
+
+
+def _fat_bwd(rate, interpret, res, g):
+    import numpy as np
+    q, k, v, bias, seed = res
+    dq, dk, dv, db = _bwd_train(q, k, v, bias, seed, rate, g, interpret)
+    dseed = np.zeros(jnp.shape(seed), dtype=jax.dtypes.float0)
+    return dq, dk, dv, db, dseed
+
+
+flash_attention_train.defvjp(_fat_fwd, _fat_bwd)
 
 
 def _xla_ref(q, k, v, bias):
