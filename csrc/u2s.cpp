@@ -235,6 +235,47 @@ int u2s_batch_get(void* h, const char** keys, int n, uint8_t** outs,
   return 0;
 }
 
+// Collator support: pack n ragged row-major byte blobs into a padded batch
+// buffer (dst row i at dst + i*stride, first nbytes[i] bytes copied, the
+// rest left as the caller pre-initialized them). The big collate cost is
+// the [nbb, 2048] fp32 feature copies — memcpy fanned across a thread pool
+// (reference moves this work into DataLoader worker processes,
+// pretrain.py:90; here it's one process + threads).
+namespace {
+ThreadPool* g_pack_pool = nullptr;
+std::mutex g_pack_mu;
+ThreadPool* pack_pool(int n_threads) {
+  std::lock_guard<std::mutex> lk(g_pack_mu);
+  if (!g_pack_pool && n_threads > 1) g_pack_pool = new ThreadPool(n_threads);
+  return g_pack_pool;
+}
+}  // namespace
+
+int u2s_pack(const uint8_t** srcs, const int64_t* nbytes, int n,
+             uint8_t* dst, int64_t stride, int n_threads) {
+  ThreadPool* pool = pack_pool(n_threads);
+  if (!pool || n <= 2) {
+    for (int i = 0; i < n; ++i)
+      if (nbytes[i] > 0) std::memcpy(dst + i * stride, srcs[i], nbytes[i]);
+    return 0;
+  }
+  std::atomic<int> done(0);
+  std::mutex mu;
+  std::condition_variable cv;
+  for (int i = 0; i < n; ++i) {
+    pool->submit([&, i] {
+      if (nbytes[i] > 0) std::memcpy(dst + i * stride, srcs[i], nbytes[i]);
+      if (done.fetch_add(1) + 1 == n) {
+        std::lock_guard<std::mutex> lk(mu);
+        cv.notify_one();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return done.load() == n; });
+  return 0;
+}
+
 // Writer-side compression helpers (used by the Python writer via ctypes).
 int u2s_lz4_bound(int n) { return LZ4_compressBound(n); }
 int u2s_lz4_compress(const uint8_t* src, int n, uint8_t* dst, int cap) {

@@ -116,8 +116,29 @@ def main(opts):
     import optax
 
     def train_step(state, batch, rng):
-        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng)
+        # leading [accum] micro-batch axis → lax.scan grad accumulation
+        # (reference finetune default gradient_accumulation_steps=8,
+        # config/uc2_mscoco_itm.json:17)
+        if batch["input_ids"].ndim == 3:
+            A = batch["input_ids"].shape[0]
+            rngs = jax.random.split(rng, A)
+
+            def body(carry, xs):
+                g_acc, l_acc = carry
+                mb, r = xs
+                (loss, _), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params, mb, r)
+                return (jax.tree_util.tree_map(jnp.add, g_acc, g),
+                        l_acc + loss), None
+
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (grads, loss), _ = jax.lax.scan(
+                body, (zero_g, jnp.float32(0.0)), (batch, rngs))
+            grads = jax.tree_util.tree_map(lambda g: g / A, grads)
+            loss = loss / A
+        else:
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, new_params, opt_state), loss
@@ -162,13 +183,16 @@ def main(opts):
         global_step = int(state.step)
         start = time.time()
         n_ex = 0
+        accum = max(1, opts.gradient_accumulation_steps)
         while global_step < opts.num_train_steps:
-            batch = loader.next_batch()
+            batch = (loader.next_stacked(accum) if accum > 1
+                     else loader.next_batch())
             batch.pop("_bucket", None)
             batch.pop("sample_size", None)
             batch.pop("targets", None)
-            n_ex += batch["input_ids"].shape[0]
-            batch = M.shard_batch(mesh, batch)
+            bs = batch["input_ids"].shape
+            n_ex += bs[0] * bs[1] if accum > 1 else bs[0]
+            batch = M.shard_batch(mesh, batch, stacked=accum > 1)
             rng_key, sub = jax.random.split(rng_key)
             state, loss = jit_step(state, batch, sub)
             global_step = int(state.step)
@@ -283,6 +307,10 @@ def build_parser():
     p.add_argument("--log_steps", type=int, default=100)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1,
+                   help="micro-batches per optimizer step, scan-accumulated "
+                        "in-step (reference default 8, "
+                        "config/uc2_mscoco_itm.json:17)")
     p.add_argument("--n_model", type=int, default=1)
     p.add_argument("--async_ckpt", action="store_true",
                    help="milestone checkpoints via orbax")

@@ -62,3 +62,24 @@ def test_itm_finetune_and_eval(corpus, model_config, tmp_path):
     hard = json.load(open(os.path.join(opts.output_dir, mined[0])))
     some = next(iter(hard.values()))
     assert len(some) <= 3
+
+
+def test_itm_finetune_with_accumulation(corpus, model_config, tmp_path):
+    """--gradient_accumulation_steps routes through the in-step lax.scan
+    (reference itm accumulates 8 micro-batches, config/uc2_mscoco_itm.json)."""
+    import itm
+    argv = [
+        "--model_config", model_config,
+        "--output_dir", str(tmp_path / "out_accum"),
+        "--train_txt_db", corpus["txt_db"],
+        "--train_img_db", corpus["img_db"],
+        "--max_txt_len", "16", "--max_bb", "8", "--min_bb", "4",
+        "--train_batch_size", "12",
+        "--num_train_steps", "2", "--warmup_steps", "1",
+        "--valid_steps", "0", "--save_steps", "5", "--log_steps", "1",
+        "--dtype", "float32", "--seed", "0",
+        "--gradient_accumulation_steps", "2",
+    ]
+    opts = itm.parse_with_config(itm.build_parser(), argv)
+    state, results = itm.main(opts)
+    assert int(state.step) == 2

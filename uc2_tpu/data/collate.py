@@ -112,6 +112,18 @@ def collate_batch(examples: List[Dict[str, Any]], spec: BucketSpec,
     if has_img:
         out["img_feat"] = np.zeros((B, Nb, img_dim), np.float32)
         out["img_pos_feat"] = np.zeros((B, Nb, 7), np.float32)
+        # big copies ([nbb, 2048] fp32 per example) go through the native
+        # threaded packer when layouts allow (csrc u2s_pack); the
+        # per-example loop below skips whatever was packed here
+        from uc2_tpu.data.native_build import pack_ragged
+        feats = [np.asarray(e["img_feat"])[:Nb] if "img_feat" in e
+                 else np.zeros((0, img_dim), np.float32) for e in examples]
+        packed_feat = pack_ragged(feats, out["img_feat"])
+        pos = [np.asarray(e["img_pos_feat"])[:Nb] if "img_pos_feat" in e
+               else np.zeros((0, 7), np.float32) for e in examples]
+        packed_pos = pack_ragged(pos, out["img_pos_feat"])
+    else:
+        packed_feat = packed_pos = False
     if any("position_ids" in e for e in examples):
         out["position_ids"] = np.full((B, Lt), pad_token_id, np.int32)
     if any("img_masks" in e for e in examples):
@@ -145,8 +157,11 @@ def collate_batch(examples: List[Dict[str, Any]], spec: BucketSpec,
         if "img_feat" in e:
             feat = np.asarray(e["img_feat"])[:Nb]
             nbb = feat.shape[0]
-            out["img_feat"][b, :nbb] = feat
-            out["img_pos_feat"][b, :nbb] = np.asarray(e["img_pos_feat"])[:Nb]
+            if not packed_feat:
+                out["img_feat"][b, :nbb] = feat
+            if not packed_pos:
+                out["img_pos_feat"][b, :nbb] = \
+                    np.asarray(e["img_pos_feat"])[:Nb]
             out["attn_mask"][b, Lt:Lt + nbb] = 1
         if "img_masks" in e and "img_masks" in out:
             out["img_masks"][b, :nbb] = np.asarray(e["img_masks"])[:Nb]

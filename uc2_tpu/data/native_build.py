@@ -80,5 +80,35 @@ def load() -> Optional[ctypes.CDLL]:
         lib.u2s_lz4_decompress.restype = ctypes.c_int
         lib.u2s_lz4_decompress.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                            ctypes.c_char_p, ctypes.c_int]
+        lib.u2s_pack.restype = ctypes.c_int
+        lib.u2s_pack.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
         _lib = lib
         return _lib
+
+
+def pack_ragged(arrays, out, n_threads: int = 8) -> bool:
+    """Threaded native pack of ragged row-major arrays into the padded
+    batch buffer ``out`` ([B, N, ...]; rows beyond each array keep out's
+    current contents). Returns False (caller should fall back to numpy) if
+    the native lib is unavailable or an array needs a dtype/layout copy.
+    """
+    import numpy as np
+    lib = load()
+    if lib is None:
+        return False
+    stride = out.strides[0]
+    if not out.flags.c_contiguous:
+        return False
+    for a in arrays:
+        if not (isinstance(a, np.ndarray) and a.flags.c_contiguous
+                and a.dtype == out.dtype and a.nbytes <= stride):
+            return False
+    n = len(arrays)
+    srcs = (ctypes.c_void_p * n)(
+        *[a.ctypes.data if a.size else 0 for a in arrays])
+    sizes = (ctypes.c_int64 * n)(*[a.nbytes for a in arrays])
+    lib.u2s_pack(srcs, sizes, n, out.ctypes.data_as(ctypes.c_void_p),
+                 stride, n_threads)
+    return True
