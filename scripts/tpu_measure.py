@@ -118,7 +118,8 @@ def cmd_train(args):
     from uc2_tpu.training import optim as O
     from uc2_tpu.training.step import make_split_train_step
     rng = np.random.default_rng(0)
-    cfg = UC2Config(dtype=args.dtype, remat=args.remat)
+    cfg = UC2Config(dtype=args.dtype, remat=args.remat,
+                    use_pallas_attention=args.attention == "pallas")
     model = UC2ForPretraining(cfg, lm_ce_chunks=args.ce_chunks)
     params = model.init_params(jax.random.PRNGKey(0))
     tx = O.build_optimizer(params, O.constant(4e-5), grad_norm=5.0)
@@ -206,6 +207,8 @@ def main():
     ps.add_argument("--attention", choices=["xla", "pallas"], default="xla")
     pa = sub.add_parser("ab"); common(pa)
     pt = sub.add_parser("train"); common(pt)
+    pt.add_argument("--attention", choices=["xla", "pallas"],
+                    default="pallas")
     pt.add_argument("--task", default="mlm")
     pt.add_argument("--masked", type=int, default=24)
     pt.add_argument("--remat", default=None)
