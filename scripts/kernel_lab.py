@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Attention-kernel variant race (raw op + end-to-end chain) on the chip.
+
+The v3 kernel (default) measures 0.837 ms/op at B=64/L=162/n=12/d=64 —
+~5% MXU efficiency; attention is memory/layout-bound and still ~45% of
+scoring wall time. Candidates probe the obvious levers:
+
+  v3      current default (BB auto≈2, fp32 scores)
+  v3bb1   BB=1 (more grid cells → deeper pipelining)
+  v3bb4   BB=4 + raised vmem limit
+  v4bf16  scores/softmax statistics in fp32 but the [L,L] probs tensor
+          written/read once in bf16 (halves VMEM traffic of the big ops)
+  v4qs    q-split grid (B/BB, 2): Lq halves, smaller cells
+
+Usage: python scripts/kernel_lab.py [--batch 64] [--num_bb 100] [--e2e]
+"""
+
+import argparse
+import functools
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from uc2_tpu.ops.flash_attention import _fwd_pallas_v3
+from uc2_tpu.ops.attention import _xla_attention
+
+
+def _kernel_bf16(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, n, L, d):
+    BB = q_ref.shape[0]
+    q = q_ref[...].reshape(BB * n, L, d)
+    k = k_ref[...].reshape(BB * n, L, d)
+    v = v_ref[...].reshape(BB * n, L, d)
+    bias = bias_ref[...].reshape(BB, 1, 1, L)
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    s = s.reshape(BB, n, L, L) * scale + bias.astype(jnp.float32)
+    s = s.reshape(BB * n, L, L)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m).astype(jnp.bfloat16)          # probs live in bf16
+    denom = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        e, v.astype(jnp.bfloat16),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o = o / denom
+    o_ref[...] = o.reshape(BB, n, L, d).astype(o_ref.dtype)
+
+
+def _fwd_v4(q, k, v, bias, kernel_body, BB=0, vmem_mb=0, q_split=1):
+    B, L, n, d = q.shape
+    qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+    if BB <= 0:
+        BB = max(1, (4 * 1024 * 1024) // (n * L * L * 4))
+    BB = math.gcd(BB, B)
+    if q_split > 1:
+        Lq = L // q_split if L % q_split == 0 else L
+        q_split = L // Lq
+    else:
+        Lq = L
+    grid = (B // BB,) if q_split == 1 else (B // BB, q_split)
+    kernel = functools.partial(kernel_body, scale=1.0 / math.sqrt(d),
+                               n=n, L=L, d=d)
+    idx_full = (lambda b: (b, 0, 0, 0)) if q_split == 1 else \
+        (lambda b, i: (b, 0, 0, 0))
+    idx_q = (lambda b: (b, 0, 0, 0)) if q_split == 1 else \
+        (lambda b, i: (b, 0, i, 0))
+    cp = {}
+    if vmem_mb:
+        cp = dict(compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 1024 * 1024))
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BB, n, Lq, d), idx_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, n, L, d), idx_full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, n, L, d), idx_full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, 1, 1, L), idx_full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BB, n, Lq, d), idx_q,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n, L, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * n * L * L * d,
+            bytes_accessed=(4 * B * L * n * d) * q.dtype.itemsize,
+            transcendentals=B * n * L * L),
+        **cp,
+    )(qt, kt, vt, bias)
+    return out.transpose(0, 2, 1, 3)
+
+
+def _kernel_qsplit(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, n, L, d):
+    BB = q_ref.shape[0]
+    Lq = q_ref.shape[2]
+    q = q_ref[...].reshape(BB * n, Lq, d)
+    k = k_ref[...].reshape(BB * n, L, d)
+    v = v_ref[...].reshape(BB * n, L, d)
+    bias = bias_ref[...].reshape(BB, 1, 1, L)
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    s = s.reshape(BB, n, Lq, L) * scale + bias.astype(jnp.float32)
+    s = s.reshape(BB * n, Lq, L)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+    o = jax.lax.dot_general(
+        p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o_ref[...] = o.reshape(BB, n, Lq, d).astype(o_ref.dtype)
+
+
+from uc2_tpu.ops.flash_attention import _attn_kernel_v3
+
+
+VARIANTS = {
+    "v3": lambda q, k, v, b: _fwd_pallas_v3(q, k, v, b),
+    "v3bb1": lambda q, k, v, b: _fwd_v4(q, k, v, b, _attn_kernel_v3, BB=1),
+    "v3bb4": lambda q, k, v, b: _fwd_v4(q, k, v, b, _attn_kernel_v3, BB=4,
+                                        vmem_mb=96),
+    "v4bf16": lambda q, k, v, b: _fwd_v4(q, k, v, b, _kernel_bf16),
+    "v4qs": lambda q, k, v, b: _fwd_v4(q, k, v, b, _kernel_qsplit,
+                                       q_split=2),
+    "xla": lambda q, k, v, b: _xla_attention(q, k, v, b),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--txt_len", type=int, default=62)
+    ap.add_argument("--num_bb", type=int, default=100)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--variants", nargs="*", default=list(VARIANTS))
+    args = ap.parse_args()
+
+    B, L = args.batch, args.txt_len + args.num_bb
+    n, d = 12, 64
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, L, n, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, L, n, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, L, n, d)), jnp.bfloat16)
+    mask = np.ones((B, L), np.float32)
+    mask[:, -13:] = 0
+    bias = jnp.asarray(((1.0 - mask) * -10000.0)[:, None, None, :],
+                       jnp.float32)
+
+    ref = None
+    for name in args.variants:
+        fn = VARIANTS[name]
+
+        @jax.jit
+        def chain(q, k, v, bias, fn=fn):
+            def body(c, _):
+                o = fn(q + c * 1e-30, k, v, bias)
+                return jnp.mean(o.astype(jnp.float32)), None
+            last, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                   length=args.iters)
+            return last
+
+        try:
+            out = fn(q, k, v, bias)
+            if ref is None:
+                ref = np.asarray(VARIANTS["xla"](q, k, v, bias),
+                                 np.float32)
+            err = np.max(np.abs(np.asarray(out, np.float32) - ref))
+            float(chain(q, k, v, bias))
+            t0 = time.perf_counter()
+            float(chain(q, k, v, bias))
+            dt = time.perf_counter() - t0
+            print(f"RESULT {name}: {dt / args.iters * 1e3:.3f} ms/op  "
+                  f"maxerr={err:.4f}", flush=True)
+        except Exception as e:
+            print(f"RESULT {name}: FAILED {type(e).__name__} "
+                  f"{str(e)[:160]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -138,6 +138,10 @@ def cmd_train(args):
     if args.task.startswith("itm"):
         batch["targets"] = jnp.asarray(
             rng.integers(0, 2, (B,)).astype(np.int32))
+    if args.accum > 1:
+        # leading micro-batch axis → in-grad lax.scan accumulation
+        batch = {k: jnp.broadcast_to(v[None], (args.accum,) + v.shape)
+                 for k, v in batch.items()}
     t0 = time.time()
     grads, m = gj(params, batch, jax.random.PRNGKey(0))
     float(m["loss"])
@@ -151,8 +155,8 @@ def cmd_train(args):
         p, s = aj(grads, s, p)
     float(m["loss"])
     dt = time.perf_counter() - t0
-    log(f"RESULT train {args.task} B={B} M={M}: {n / dt:.2f} steps/s, "
-        f"{B * n / dt:.0f} ex/s")
+    log(f"RESULT train {args.task} B={B} M={M} accum={args.accum}: "
+        f"{n / dt:.2f} steps/s, {B * args.accum * n / dt:.0f} ex/s")
 
 
 def cmd_eval(args):
@@ -209,6 +213,7 @@ def main():
     pt = sub.add_parser("train"); common(pt)
     pt.add_argument("--attention", choices=["xla", "pallas"],
                     default="pallas")
+    pt.add_argument("--accum", type=int, default=1)
     pt.add_argument("--task", default="mlm")
     pt.add_argument("--masked", type=int, default=24)
     pt.add_argument("--remat", default=None)
