@@ -134,3 +134,20 @@ def test_driver_host_accum(tmp_path):
     opts = pretrain.parse_with_config(pretrain.build_parser(), argv)
     state = pretrain.main(opts)
     assert int(state.step) == 2
+
+
+def test_one_epoch_covers_every_example(corpus):
+    """Validation sweep: one_epoch yields each routed example exactly once
+    (drop_last=False), matching the reference's full val-DB sweep."""
+    buckets = [BucketSpec(20, 16, 4, 16)]
+    tl = _mlm_loader(corpus, buckets)
+    tl.drop_last = False
+    tl.shuffle = False
+    total = 0
+    n_batches = 0
+    for batch in tl.one_epoch():
+        total += int(batch["ex_mask"].sum())
+        n_batches += 1
+    assert total == len(tl.dataset.txt_lens)
+    # a second sweep restarts cleanly
+    assert sum(int(b["ex_mask"].sum()) for b in tl.one_epoch()) == total
