@@ -36,6 +36,11 @@ def main(opts):
                                              save_training_meta)
     from uc2_tpu.training.step import TrainState, create_train_state
 
+    from uc2_tpu.parallel import multihost as MH
+    MH.maybe_initialize(opts.coordinator_address, opts.num_processes,
+                        opts.process_id)
+    multi = MH.process_count() > 1
+
     np.random.seed(opts.seed)
     os.makedirs(opts.output_dir, exist_ok=True)
     save_training_meta(opts.output_dir, vars(opts))
@@ -54,7 +59,9 @@ def main(opts):
         loaded = expand_type_embeddings(loaded)
         params = convert.merge_params(params, loaded)
 
-    txt_db = TxtTokDb(opts.train_txt_db, max_txt_len=opts.max_txt_len)
+    txt_db = TxtTokDb(opts.train_txt_db, max_txt_len=opts.max_txt_len,
+                      shard=(MH.process_index(), MH.process_count())
+                      if multi else None)
     img_db = DetectFeatDb(opts.train_img_db, opts.conf_th, opts.max_bb,
                           opts.min_bb, opts.num_bb)
     if opts.fmt == "triplet":
@@ -187,6 +194,11 @@ def build_parser():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--n_model", type=int, default=1)
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 — enables "
+                        "jax.distributed.initialize")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p
 
 

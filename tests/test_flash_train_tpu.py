@@ -10,7 +10,9 @@ import numpy as np
 import pytest
 
 pytestmark = pytest.mark.skipif(
-    jax.default_backend() != "tpu", reason="needs a real TPU (pltpu PRNG)")
+    jax.devices()[0].platform != "tpu",
+    reason="needs a real TPU (pltpu PRNG)")  # note: default_backend() is
+# 'axon' through this image's tunnel even though the device is a TPU
 
 
 def test_tpu_dropout_stats_and_grads():

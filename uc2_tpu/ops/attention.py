@@ -81,17 +81,19 @@ def multi_head_attention(q, k, v, bias, dropout_rate: float = 0.0,
                          dropout_rng=None, use_pallas=False):
     """Dispatch between attention backends.
 
-    ``use_pallas``: False/"xla" → einsum path (default; fastest measured at
-    this model's shapes), True/"pallas" → our fused kernel
-    (ops/flash_attention.py), "flash" → jax's stock TPU flash kernel.
-    Kernel paths apply only when on TPU with no attention dropout
-    (pretraining uses attention_probs_dropout_prob=0.1 → XLA path).
+    ``use_pallas``: False/"xla" → einsum path, True/"pallas" → our fused
+    kernel for dropout-free (inference) calls with XLA for training
+    (default; fastest measured at this model's shapes), "pallas-train" →
+    additionally run training attention through flash_attention_train
+    (in-kernel probs dropout + Pallas backward — measured ~9% slower than
+    the XLA train path at uc2-base/L=162 on v5e, so opt-in), "flash" →
+    jax's stock TPU flash kernel.
     """
     impl = {False: "xla", True: "pallas"}.get(use_pallas, use_pallas)
     if impl != "xla" and _on_tpu():
         try:
             if dropout_rate > 0.0 and dropout_rng is not None \
-                    and impl == "pallas":
+                    and impl == "pallas-train":
                 # training path: in-kernel probs dropout + Pallas backward
                 # (reference dropout-after-softmax, model/layer.py:99-101)
                 from uc2_tpu.ops.flash_attention import flash_attention_train
