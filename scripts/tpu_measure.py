@@ -69,7 +69,8 @@ def cmd_score(args):
     from uc2_tpu.config import UC2Config
     from uc2_tpu.models.finetune import UC2ForImageTextRetrieval
     cfg = UC2Config(dtype=args.dtype,
-                    use_pallas_attention=args.attention == "pallas")
+                    use_pallas_attention=args.attention == "pallas",
+                    quant=args.quant)
     model = UC2ForImageTextRetrieval(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
@@ -80,7 +81,7 @@ def cmd_score(args):
         float(chain(params, batch))
         dt = time.perf_counter() - t0
         log(f"RESULT score B={args.batch} Lt={args.txt_len} Nb={args.num_bb} "
-            f"attn={args.attention} trial{trial}: "
+            f"attn={args.attention} quant={args.quant} trial{trial}: "
             f"{args.batch * args.iters / dt:.0f} pairs/s")
 
 
@@ -209,6 +210,7 @@ def main():
 
     ps = sub.add_parser("score"); common(ps)
     ps.add_argument("--attention", choices=["xla", "pallas"], default="xla")
+    ps.add_argument("--quant", choices=["none", "int8"], default="none")
     pa = sub.add_parser("ab"); common(pa)
     pt = sub.add_parser("train"); common(pt)
     pt.add_argument("--attention", choices=["xla", "pallas"],

@@ -74,6 +74,11 @@ class UC2Config:
     # Remat (activation checkpointing) policy for encoder layers: "none",
     # "full", or "dots" (save matmul outputs only).
     remat: str = "none"
+    # Serving quantization for the encoder-block matmuls: "none" or "int8"
+    # (weight-only per-output-channel + dynamic per-row activation scales;
+    # int8 MXU runs at 2x bf16 peak on v5e). Inference/serving mode — NOT
+    # numerically parity-preserving; keep "none" for training/parity.
+    quant: str = "none"
 
     @property
     def head_dim(self) -> int:

@@ -71,19 +71,42 @@ def gelu(x):
     return jax.nn.gelu(x, approximate=False)
 
 
+def int8_matmul(x, kernel, out_dtype):
+    """Serving int8 matmul: per-output-channel weight scales (computed from
+    the fp32 kernel — loop-invariant, so XLA hoists the one-time weight
+    quantization out of eval scans) + dynamic per-row activation scales.
+    int8×int8→int32 rides the MXU at 2× bf16 peak on v5e."""
+    x32 = x.astype(jnp.float32)
+    s_x = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0
+    s_x = jnp.maximum(s_x, 1e-8)
+    x_q = jnp.clip(jnp.round(x32 / s_x), -127, 127).astype(jnp.int8)
+    s_w = jnp.max(jnp.abs(kernel), axis=0, keepdims=True) / 127.0
+    s_w = jnp.maximum(s_w, 1e-12)
+    w_q = jnp.clip(jnp.round(kernel / s_w), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        x_q, w_q, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * s_x * s_w).astype(out_dtype)
+
+
 class Dense(nn.Module):
     """Linear layer; params fp32, compute in `dtype`. Kernel stored [in, out]
-    (torch stores [out, in]; the checkpoint converter transposes)."""
+    (torch stores [out, in]; the checkpoint converter transposes).
+    ``quant="int8"`` switches to the serving int8 path (int8_matmul)."""
     features: int
     dtype: Any = jnp.float32
     use_bias: bool = True
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
         kernel = self.param("kernel", nn.initializers.normal(stddev=0.02),
                             (x.shape[-1], self.features), jnp.float32)
-        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
-                    preferred_element_type=self.dtype)
+        if self.quant == "int8":
+            y = int8_matmul(x, kernel, self.dtype)
+        else:
+            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
+                        preferred_element_type=self.dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,),
                               jnp.float32)
@@ -170,7 +193,8 @@ class SelfAttention(nn.Module):
         cfg = self.config
         B, L, H = x.shape
         n, d = cfg.num_attention_heads, cfg.head_dim
-        qkv = Dense(3 * H, dtype=jnp.dtype(cfg.dtype), name="qkv")(x)
+        qkv = Dense(3 * H, dtype=jnp.dtype(cfg.dtype), quant=cfg.quant,
+                    name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         dropout_rng = None
         rate = cfg.attention_probs_dropout_prob
@@ -205,16 +229,17 @@ class EncoderLayer(nn.Module):
         eps = cfg.block_layer_norm_eps
         attn_out = SelfAttention(cfg, name="attention")(
             x, attn_bias, deterministic)
-        attn_out = Dense(cfg.hidden_size, dtype=dtype,
+        attn_out = Dense(cfg.hidden_size, dtype=dtype, quant=cfg.quant,
                          name="attention_output_dense")(attn_out)
         attn_out = nn.Dropout(cfg.hidden_dropout_prob)(
             attn_out, deterministic=deterministic)
         x = LayerNorm(eps=eps, dtype=dtype, name="attention_output_LayerNorm")(
             attn_out + x)
-        h = Dense(cfg.intermediate_size, dtype=dtype,
+        h = Dense(cfg.intermediate_size, dtype=dtype, quant=cfg.quant,
                   name="intermediate_dense")(x)
         h = gelu(h)
-        h = Dense(cfg.hidden_size, dtype=dtype, name="output_dense")(h)
+        h = Dense(cfg.hidden_size, dtype=dtype, quant=cfg.quant,
+                  name="output_dense")(h)
         h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
         x = LayerNorm(eps=eps, dtype=dtype, name="output_LayerNorm")(h + x)
         return x
