@@ -143,7 +143,10 @@ def main():
     ap.add_argument("--num_bb", type=int, default=100)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--variants", nargs="*", default=list(VARIANTS))
+    ap.add_argument("--mode", choices=["op", "block"], default="op")
     args = ap.parse_args()
+    if args.mode == "block":
+        return block_race(args)
 
     B, L = args.batch, args.txt_len + args.num_bb
     n, d = 12, 64
@@ -184,6 +187,134 @@ def main():
         except Exception as e:
             print(f"RESULT {name}: FAILED {type(e).__name__} "
                   f"{str(e)[:160]}", flush=True)
+
+
+# ---------------------------------------------------------------- block race
+# Fused (attention → out-proj → +residual → LayerNorm) vs the XLA chain.
+# Saves the HBM roundtrips of ctx and the pre-LN sum (~64 MB/layer at
+# B=64/L=162) at the cost of an in-VMEM head transpose.
+
+def _block_kernel(q_ref, k_ref, v_ref, bias_ref, x_ref, wo_ref, bo_ref,
+                  g_ref, b_ref, o_ref, *, scale, n, L, d, eps):
+    BB = q_ref.shape[0]
+    H = n * d
+    q = q_ref[...].reshape(BB * n, L, d)
+    k = k_ref[...].reshape(BB * n, L, d)
+    v = v_ref[...].reshape(BB * n, L, d)
+    bias = bias_ref[...].reshape(BB, 1, 1, L)
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    s = s.reshape(BB, n, L, L) * scale + bias.astype(jnp.float32)
+    s = s.reshape(BB * n, L, L)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+    ctx = jax.lax.dot_general(
+        p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)           # [BB*n, L, d]
+    # heads → hidden: [BB, n, L, d] → [BB, L, n*d] (in-VMEM relayout)
+    ctx = ctx.reshape(BB, n, L, d).transpose(0, 2, 1, 3).reshape(BB, L, H)
+    y = jax.lax.dot_general(
+        ctx.astype(wo_ref.dtype), wo_ref[...],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = y + bo_ref[...].astype(jnp.float32) + x_ref[...].astype(jnp.float32)
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+    yn = (y - mu) * jax.lax.rsqrt(var + eps)
+    yn = yn * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    o_ref[...] = yn.astype(o_ref.dtype)
+
+
+def fused_attn_block(q, k, v, bias, x, wo, bo, gamma, beta, BB=0):
+    B, L, n, d = q.shape
+    H = n * d
+    qt, kt, vt = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+    if BB <= 0:
+        BB = max(1, (4 * 1024 * 1024) // (n * L * L * 4))
+    BB = math.gcd(BB, B)
+    kernel = functools.partial(_block_kernel, scale=1.0 / math.sqrt(d),
+                               n=n, L=L, d=d, eps=1e-12)
+    bspec = lambda shape, im: pl.BlockSpec(shape, im,
+                                           memory_space=pltpu.VMEM)
+    i4 = lambda b: (b, 0, 0, 0)
+    i3 = lambda b: (b, 0, 0)
+    iw = lambda b: (0, 0)
+    iv = lambda b: (0,)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // BB,),
+        in_specs=[
+            bspec((BB, n, L, d), i4), bspec((BB, n, L, d), i4),
+            bspec((BB, n, L, d), i4), bspec((BB, 1, 1, L), i4),
+            bspec((BB, L, H), i3),
+            bspec((H, H), iw), bspec((H,), iv),
+            bspec((H,), iv), bspec((H,), iv),
+        ],
+        out_specs=bspec((BB, L, H), i3),
+        out_shape=jax.ShapeDtypeStruct((B, L, H), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * n * L * L * d + 2 * B * L * H * H,
+            bytes_accessed=(6 * B * L * H) * q.dtype.itemsize,
+            transcendentals=B * n * L * L),
+    )(qt, kt, vt, bias, x, wo, bo, gamma, beta)
+
+
+def xla_attn_block(q, k, v, bias, x, wo, bo, gamma, beta):
+    ctx = _xla_attention(q, k, v, bias)
+    B, L, n, d = q.shape
+    y = ctx.reshape(B, L, n * d).astype(jnp.bfloat16) @ wo.astype(
+        jnp.bfloat16)
+    y = y.astype(jnp.float32) + bo + x.astype(jnp.float32)
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+    yn = (y - mu) * jax.lax.rsqrt(var + 1e-12)
+    return (yn * gamma + beta).astype(x.dtype)
+
+
+def block_race(args):
+    B, L = args.batch, args.txt_len + args.num_bb
+    n, d = 12, 64
+    H = n * d
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, L, n, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, L, n, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, L, n, d)), jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((B, L, H)), jnp.bfloat16)
+    wo = jnp.asarray(rng.standard_normal((H, H)) * 0.02, jnp.bfloat16)
+    bo = jnp.asarray(rng.standard_normal((H,)) * 0.01, jnp.float32)
+    gamma = jnp.ones((H,), jnp.float32)
+    beta = jnp.zeros((H,), jnp.float32)
+    mask = np.ones((B, L), np.float32)
+    mask[:, -13:] = 0
+    bias = jnp.asarray(((1.0 - mask) * -10000.0)[:, None, None, :],
+                       jnp.float32)
+    for name, fn in (("fusedblock", fused_attn_block),
+                     ("xlablock", xla_attn_block)):
+        @jax.jit
+        def chain(q, k, v, fn=fn):
+            def body(c, _):
+                o = fn(q + c * 1e-30, k, v, bias, x, wo, bo, gamma, beta)
+                return jnp.mean(o.astype(jnp.float32)), None
+            last, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                   length=args.iters)
+            return last
+        try:
+            out = np.asarray(fn(q, k, v, bias, x, wo, bo, gamma, beta),
+                             np.float32)
+            ref = np.asarray(xla_attn_block(q, k, v, bias, x, wo, bo,
+                                            gamma, beta), np.float32)
+            err = np.max(np.abs(out - ref))
+            float(chain(q, k, v))
+            t0 = time.perf_counter()
+            float(chain(q, k, v))
+            dt = time.perf_counter() - t0
+            print(f"RESULT {name}: {dt / args.iters * 1e3:.3f} ms/block  "
+                  f"maxerr={err:.4f}", flush=True)
+        except Exception as e:
+            print(f"RESULT {name}: FAILED {type(e).__name__} "
+                  f"{str(e)[:200]}", flush=True)
 
 
 if __name__ == "__main__":
