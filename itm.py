@@ -175,8 +175,6 @@ def main(opts):
                 saver.save(jax.tree_util.tree_map(
                     np.asarray, jax.device_get(st.params)), step)
         jit_step = jax.jit(train_step)
-        score_fn = jax.jit(
-            lambda p, b: model.scores(p, b, deterministic=True))
 
         meter = RunningMeter("rank_loss")
         rng_key = jax.random.PRNGKey(opts.seed + 1)
