@@ -10,26 +10,34 @@ Both systems adapt work to the per-image region count: the reference sorts
 images by nbb and pads each minibatch to its local max (data/itm.py:905,
 itm.py:516-538); our eval routes images into static nbb buckets
 (evalu/retrieval.py:default_nbb_buckets — edges at 128·k − Lt so the common
-bucket rides the TPU's 128-lane tile). So the benchmark measures the three
+bucket rides the TPU's 128-lane tile). The benchmark measures the three
 production bucket shapes and reports the envelope-weighted throughput over
 the reference's region-count range nbb ∈ [10, 100] (conf_th 0.2 defaults,
-pretrain.py:1164-1168), assuming nbb uniform over that range:
+pretrain.py:1164-1168).
 
-  bucket Nb=36  (joint L=98):  images with 10-36 regions → weight 27/91
-  bucket Nb=66  (joint L=128): images with 37-66         → weight 30/91
-  bucket Nb=100 (joint L=162): images with 67-100        → weight 34/91
+Bucket WEIGHTS come from a measured nbb histogram, not an assumption: the
+reference derives per-image nbb from detector confidences
+(/root/reference/data/data.py:31-34 + nbb_th0.2_max100_min10.json sidecar);
+``--nbb_hist`` points at any such sidecar (default: the demo gallery's).
+The uniform-over-[10,100] assumption is reported alongside as
+``value_uniform`` so the two weightings can be compared.
 
-The flat worst-case single-shape number (every image padded to Nb=100) is
-also reported as ``value_worst_case``.
-
-``vs_baseline`` divides by an estimated V100 reference throughput of 600
-pairs/s/GPU (the repo stores no measured number — BASELINE.md; 600 ≈ 40%
-MXU-equivalent utilization of a V100's 125 TF fp16 at the ~27 GFLOP/pair
-this workload costs, a generous estimate for the reference's eager-mode
-loop). Prints ONE json line.
+``vs_baseline`` divides by a V100 reference throughput estimated **for the
+same workload mix** (ADVICE r2: numerator and denominator must measure the
+same thing): the single documented estimate — 600 pairs/s at the flat
+Nb=100 / L=162 shape (BASELINE.md; the repo stores no measured number, and
+600 corresponds to ~13% of the V100's 125 TF fp16 peak at the ~28.5
+GFLOP/pair this shape costs, a plausible figure for the reference's eager
+fp16 loop) — is scaled to each bucket by relative FLOPs-per-pair at that
+bucket's joint length (constant-utilization assumption), then
+envelope-combined with the identical weights. ``vs_baseline_worst_case``
+keeps the most conservative reading: flat Nb=100 throughput / 600.
+Prints ONE json line.
 """
 
+import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -38,13 +46,64 @@ import numpy as np
 # in this image hangs on executable serialization (observed: >16 min spin on
 # a program that compiles in ~3 min uncached).
 
-V100_BASELINE_PAIRS_PER_SEC = 600.0
+V100_BASELINE_PAIRS_PER_SEC = 600.0   # the flat L=162 estimate (BASELINE.md)
 
-# uniform nbb over the reference envelope [10, 100]; buckets match
-# evalu/retrieval.py default_nbb_buckets(62, 100) = edges (36, 66, 100)
-BUCKETS = [(36, (36 - 10 + 1) / 91.0),
-           (66, (66 - 36) / 91.0),
-           (100, (100 - 66) / 91.0)]
+LT = 62
+# nbb bucket upper edges; match evalu/retrieval.py
+# default_nbb_buckets(62, 100) = (36, 66, 100)
+BUCKET_EDGES = [36, 66, 100]
+NBB_MIN = 10
+DEFAULT_HIST = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "data", "demo", "en", "img_db",
+                            "nbb_th0.2_max100_min10.json")
+
+
+def uniform_weights():
+    """nbb uniform over [10, 100] — the round-2 assumption."""
+    lo = NBB_MIN
+    ws = []
+    for hi in BUCKET_EDGES:
+        ws.append(hi - lo + (1 if lo == NBB_MIN else 0))
+        lo = hi
+    total = float(sum(ws))
+    return [w / total for w in ws]
+
+
+def hist_weights(path):
+    """Bucket weights from a measured per-image nbb sidecar (the format the
+    reference reads at data/data.py:80-95). Each image contributes equally:
+    eval scores every text against every image, so pairs ∝ images."""
+    with open(path) as f:
+        nbbs = list(json.load(f).values())
+    counts = [0] * len(BUCKET_EDGES)
+    for v in nbbs:
+        for i, hi in enumerate(BUCKET_EDGES):
+            if v <= hi:
+                counts[i] += 1
+                break
+    total = float(sum(counts))
+    if total == 0:
+        raise ValueError(f"empty nbb histogram: {path}")
+    return [c / total for c in counts], len(nbbs)
+
+
+def flops_per_pair(L, n_layers=12, H=768, F=3072):
+    """Encoder forward FLOPs for one (text, image) pair at joint length L:
+    per layer 4 H×H projection matmuls + 2 H×F FFN matmuls + QK^T/PV."""
+    per_layer = 2 * L * H * (4 * H) + 2 * L * (2 * H * F) + 4 * L * L * H
+    return n_layers * per_layer
+
+
+def v100_rate(L):
+    """The documented flat-shape estimate scaled by relative work: same
+    (unknown but constant) V100 utilization at every bucket shape."""
+    return (V100_BASELINE_PAIRS_PER_SEC
+            * flops_per_pair(LT + BUCKET_EDGES[-1]) / flops_per_pair(L))
+
+
+def envelope(rates, weights):
+    """Weighted harmonic mean: throughput of a mixed gallery."""
+    return 1.0 / sum(w / r for r, w in zip(rates, weights))
 
 
 def _measure(model, params, B, Lt, Nb, n_iters=20):
@@ -90,6 +149,12 @@ def _measure(model, params, B, Lt, Nb, n_iters=20):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nbb_hist", default=DEFAULT_HIST,
+                    help="per-image nbb sidecar json (reference format) "
+                         "providing the measured bucket weights")
+    args = ap.parse_args()
+
     import jax
     from uc2_tpu.config import UC2Config
     from uc2_tpu.models.finetune import UC2ForImageTextRetrieval
@@ -98,18 +163,32 @@ def main():
     model = UC2ForImageTextRetrieval(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
 
-    rates = {nb: _measure(model, params, B=64, Lt=62, Nb=nb)
-             for nb, _ in BUCKETS}
-    # envelope-weighted harmonic mean: time for a mixed gallery
-    value = 1.0 / sum(w / rates[nb] for nb, w in BUCKETS)
+    rates = [_measure(model, params, B=64, Lt=LT, Nb=nb)
+             for nb in BUCKET_EDGES]
+
+    w_hist, n_imgs = hist_weights(args.nbb_hist)
+    w_uni = uniform_weights()
+    value = envelope(rates, w_hist)
+    value_uniform = envelope(rates, w_uni)
+    # V100 baseline for the SAME mixed workload (same weights, same shapes)
+    base_rates = [v100_rate(LT + nb) for nb in BUCKET_EDGES]
+    base_envelope = envelope(base_rates, w_hist)
 
     print(json.dumps({
         "metric": "itm_scoring_pairs_per_sec_per_chip",
         "value": round(value, 1),
         "unit": "pairs/s",
-        "vs_baseline": round(value / V100_BASELINE_PAIRS_PER_SEC, 2),
-        "value_worst_case": round(rates[100], 1),
-        "bucket_rates": {str(nb): round(rates[nb], 1) for nb, _ in BUCKETS},
+        "vs_baseline": round(value / base_envelope, 2),
+        "value_uniform": round(value_uniform, 1),
+        "value_worst_case": round(rates[-1], 1),
+        "vs_baseline_worst_case": round(
+            rates[-1] / V100_BASELINE_PAIRS_PER_SEC, 2),
+        "baseline_envelope_pairs_per_sec": round(base_envelope, 1),
+        "bucket_rates": {str(nb): round(r, 1)
+                         for nb, r in zip(BUCKET_EDGES, rates)},
+        "bucket_weights": {str(nb): round(w, 4)
+                           for nb, w in zip(BUCKET_EDGES, w_hist)},
+        "nbb_hist": {"path": os.path.relpath(args.nbb_hist), "n": n_imgs},
     }))
 
 

@@ -146,8 +146,10 @@ def main(opts):
                 b = tl.next_batch()
                 b.pop("_bucket", None)
                 b.pop("sample_size", None)
-                logits = np.asarray(logits_fn(state.params,
-                                              M.shard_batch(mesh, b)))
+                # eval sweep over the unsharded (host-identical) dataset
+                logits = np.asarray(logits_fn(
+                    state.params,
+                    M.shard_batch(mesh, b, ragged="replicate")))
                 for j, p_ in enumerate(logits.argmax(-1)):
                     if len(preds) < len(ids):
                         preds[ids[len(preds)]] = \

@@ -385,7 +385,10 @@ def validate(model, state, val, buckets, valid_ids, opts, mesh):
                 break
             batch.pop("_bucket", None)
             batch.pop("sample_size", None)
-            out = ev(state.params, M.shard_batch(mesh, batch))
+            # val data is replicated (host-identical, built without shard=)
+            # so ragged trailing batches may replicate safely
+            out = ev(state.params,
+                     M.shard_batch(mesh, batch, ragged="replicate"))
             for k, x in out.items():
                 agg[k] += float(x)
         log = {}

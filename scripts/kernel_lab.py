@@ -213,12 +213,17 @@ def _block_kernel(q_ref, k_ref, v_ref, bias_ref, x_ref, wo_ref, bo_ref,
     ctx = jax.lax.dot_general(
         p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)           # [BB*n, L, d]
-    # heads → hidden: [BB, n, L, d] → [BB, L, n*d] (in-VMEM relayout)
-    ctx = ctx.reshape(BB, n, L, d).transpose(0, 2, 1, 3).reshape(BB, L, H)
-    y = jax.lax.dot_general(
-        ctx.astype(wo_ref.dtype), wo_ref[...],
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    # heads → hidden without a minor-dims shape cast (Mosaic rejects
+    # vector<..x12x64> → vector<..x768>): out-projection decomposed per
+    # head, y = Σ_h ctx_h · Wo[h·d:(h+1)·d, :] — n static unrolled dots,
+    # identical FLOPs to the single [L,H]·[H,H] matmul
+    ctx = ctx.reshape(BB, n, L, d).astype(wo_ref.dtype)
+    y = jnp.zeros((BB, L, H), jnp.float32)
+    for h in range(n):
+        y = y + jax.lax.dot_general(
+            ctx[:, h], wo_ref[h * d:(h + 1) * d, :],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     y = y + bo_ref[...].astype(jnp.float32) + x_ref[...].astype(jnp.float32)
     mu = jnp.mean(y, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)

@@ -22,7 +22,7 @@ from uc2_tpu.ops.flash_attention import flash_attention_train
 B, L, n, d = 2, 128, 2, 32
 
 
-def _inputs(seed=0, dtype=jnp.float32):
+def _inputs_shaped(seed, B, L, n, d, dtype=jnp.float32):
     rng = np.random.default_rng(seed)
     q = jnp.asarray(rng.standard_normal((B, L, n, d)), dtype)
     k = jnp.asarray(rng.standard_normal((B, L, n, d)), dtype)
@@ -32,6 +32,10 @@ def _inputs(seed=0, dtype=jnp.float32):
     bias = jnp.asarray(((1.0 - mask) * -10000.0)[:, None, None, :],
                        jnp.float32)
     return q, k, v, bias
+
+
+def _inputs(seed=0, dtype=jnp.float32):
+    return _inputs_shaped(seed, B, L, n, d, dtype)
 
 
 def test_rate0_matches_xla_forward_and_grads():
@@ -84,7 +88,26 @@ def test_dropout_statistics():
 
 @pytest.mark.parametrize("rate", [0.0, 0.3])
 def test_backward_is_gradient_of_forward(rate):
-    q, k, v, bias = _inputs(2)
+    _check_backward_is_gradient(rate, B, L, n, d)
+
+
+def test_backward_mask_consistency_at_bb_divergent_shape():
+    """Regression: fwd used to size its batch block with tensors=2 while
+    bwd used tensors=4, so at shapes where those differ (here: old fwd
+    BB=4, bwd BB=2) the backward regenerated a DIFFERENT dropout mask and
+    returned silently wrong gradients. The shared _train_bb fixes it; this
+    pins the fix with finite differences through the dropout mask."""
+    from uc2_tpu.ops.flash_attention import _train_bb
+    Bx, Lx, nx, dx = 4, 256, 2, 32
+    # the shape must be one where the OLD tensors=2 sizing disagreed
+    old_fwd_bb = __import__("math").gcd(
+        max(1, (4 * 1024 * 1024) // (2 * nx * Lx * Lx * 4)), Bx)
+    assert old_fwd_bb != _train_bb(Bx, nx, Lx), "shape no longer divergent"
+    _check_backward_is_gradient(0.3, Bx, Lx, nx, dx)
+
+
+def _check_backward_is_gradient(rate, B, L, n, d):
+    q, k, v, bias = _inputs_shaped(2, B, L, n, d)
     w = jnp.asarray(np.random.default_rng(3).standard_normal(
         (B, L, n, d)), jnp.float32)
 

@@ -31,6 +31,33 @@ def test_param_pspec_rules():
     assert param_pspec("itm_output/out/kernel") == P()
 
 
+def test_batch_shardings_ragged_multiprocess(monkeypatch):
+    """Multi-process + batch axis not divisible by the host-local data
+    share must RAISE (silent replication of per-host-distinct data would
+    diverge params across hosts — ADVICE r2); the lockstep-val escape
+    hatch and the single-process fallback both still replicate."""
+    import jax
+    from uc2_tpu.parallel import mesh as M
+
+    mesh = M.make_mesh()  # 8 CPU devices, data axis 8
+    good = {"x": np.zeros((16, 4)), "step": np.float32(1)}
+    ragged = {"x": np.zeros((13, 4))}
+
+    # single-process: ragged replicates silently (one host, consistent)
+    s = M.batch_shardings(mesh, ragged)
+    assert s["x"].spec == P()
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    s = M.batch_shardings(mesh, good)   # 16 % (8/2) == 0 → sharded
+    assert s["x"].spec == P("data")
+    assert s["step"].spec == P()
+    with pytest.raises(ValueError, match="diverge"):
+        M.batch_shardings(mesh, ragged)
+    # provably host-identical data may opt back into replication
+    s = M.batch_shardings(mesh, ragged, ragged="replicate")
+    assert s["x"].spec == P()
+
+
 def test_step_timer():
     t = StepTimer(smooth=0.5)
     for _ in range(5):

@@ -122,9 +122,21 @@ class TaskLoader:
         first_b, first_idx = self._next_assignment(bucket)
         group = [(first_b, first_idx)]
         deferred = []
+        epoch0 = self._epoch
         while len(group) < n:
+            # same guard as _next_assignment: a rare (bucket, size) first
+            # draw must fail loudly, not spin through epochs deferring
+            # every other draw with unbounded _pending growth
+            assert self._epoch - epoch0 < 64, (
+                f"bucket {first_b} produced fewer than n={n} same-shape "
+                f"batches across 64 epochs of this host's data shard — "
+                "bucket set / accumulation window / shard are incompatible")
             b, idx = self._next_assignment()
-            if b == first_b and len(idx) == len(first_idx):
+            # batch sizes are fixed per bucket under drop_last, so bucket
+            # equality alone matches; without drop_last a ragged tail
+            # batch of the same bucket must still be deferred
+            if b == first_b and (self.drop_last
+                                 or len(idx) == len(first_idx)):
                 group.append((b, idx))
             else:
                 deferred.append((b, idx))

@@ -247,15 +247,24 @@ def _attn_train_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
     db_ref[...] = db.reshape(BB, 1, 1, L)
 
 
-def _train_bb(B, n, L, tensors=3):
-    bb = max(1, (4 * 1024 * 1024) // (tensors * n * L * L * 4))
+def _train_bb(B, n, L):
+    """Shared fwd/bwd batch block.
+
+    MUST be identical in both passes: the dropout keep-mask is regenerated
+    in the backward from (seed + program_id, block shape), so a different
+    grid/block geometry would silently decorrelate the masks and corrupt
+    gradients. Size for the bwd's VMEM pressure (4 fp32 [L,L]-class
+    tensors live at once: p, pd/dpd, dp, ds) and let the fwd run the same,
+    slightly smaller-than-optimal BB.
+    """
+    bb = max(1, (4 * 1024 * 1024) // (4 * n * L * L * 4))
     return math.gcd(bb, B)
 
 
 def _fwd_train(q, k, v, bias, seed, rate, interpret=False):
     B, L, n, d = q.shape
     qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
-    BB = _train_bb(B, n, L, tensors=2)
+    BB = _train_bb(B, n, L)
     kernel = functools.partial(_attn_train_fwd_kernel,
                                scale=1.0 / math.sqrt(d), n=n, L=L, d=d,
                                rate=float(rate), interpret=interpret)
@@ -283,7 +292,7 @@ def _fwd_train(q, k, v, bias, seed, rate, interpret=False):
 def _bwd_train(q, k, v, bias, seed, rate, g, interpret=False):
     B, L, n, d = q.shape
     qt, kt, vt, gt = (x.transpose(0, 2, 1, 3) for x in (q, k, v, g))
-    BB = _train_bb(B, n, L, tensors=4)
+    BB = _train_bb(B, n, L)
     kernel = functools.partial(_attn_train_bwd_kernel,
                                scale=1.0 / math.sqrt(d), n=n, L=L, d=d,
                                rate=float(rate), interpret=interpret)

@@ -73,10 +73,19 @@ def param_shardings(mesh: Mesh, params) -> Any:
     return jax.tree_util.tree_map_with_path(f, params)
 
 
-def batch_shardings(mesh: Mesh, batch, stacked: bool = False) -> Any:
-    """Batch arrays shard over 'data' on the batch axis; scalars (and
-    arrays whose batch dim the data axis doesn't divide — e.g. ragged
-    trailing eval batches) replicate.
+def batch_shardings(mesh: Mesh, batch, stacked: bool = False,
+                    ragged: str = "raise") -> Any:
+    """Batch arrays shard over 'data' on the batch axis; scalars replicate.
+
+    Arrays whose batch dim the data axis doesn't divide (e.g. ragged
+    trailing eval batches) replicate in single-process mode — one host,
+    so every device sees the same values. In MULTI-process mode each
+    host's batch contents differ, and a 'replicated' array assembled from
+    per-host data would silently hold inconsistent values across hosts —
+    params would then diverge host-by-host with no error. So multi-process
+    ragged batch leaves **raise** unless the caller asserts the data is
+    provably identical on every host (``ragged="replicate"`` — lockstep
+    validation only).
 
     ``stacked``: the batch carries a leading [accum] micro-batch axis
     (lax.scan gradient accumulation) — the data axis is then axis 1.
@@ -86,10 +95,20 @@ def batch_shardings(mesh: Mesh, batch, stacked: bool = False) -> Any:
     # divisibility is judged against the host-local share of the data axis
     n_local = max(1, n_data // jax.process_count())
     axis = 1 if stacked else 0
+    multi = jax.process_count() > 1
     def f(x):
-        if (hasattr(x, "ndim") and getattr(x, "ndim", 0) >= axis + 1
-                and x.shape[axis] % n_local == 0):
-            return NamedSharding(mesh, P(*([None] * axis), "data"))
+        if hasattr(x, "ndim") and getattr(x, "ndim", 0) >= axis + 1:
+            if x.shape[axis] % n_local == 0:
+                return NamedSharding(mesh, P(*([None] * axis), "data"))
+            if multi and ragged != "replicate":
+                raise ValueError(
+                    f"multi-process batch leaf with batch axis {axis} of "
+                    f"size {x.shape[axis]} not divisible by the host-local "
+                    f"data share {n_local}: replicating per-host-distinct "
+                    f"data would silently diverge across hosts. Pad the "
+                    f"batch, drop the ragged tail, or pass "
+                    f"ragged='replicate' if every host provably holds "
+                    f"identical values (lockstep validation only).")
         return NamedSharding(mesh, P())
     return jax.tree_util.tree_map(f, batch)
 
@@ -111,16 +130,19 @@ def shard_params(mesh: Mesh, params):
     return jax.tree_util.tree_map(put, params, shardings)
 
 
-def shard_batch(mesh: Mesh, batch, stacked: bool = False):
+def shard_batch(mesh: Mesh, batch, stacked: bool = False,
+                ragged: str = "raise"):
     """Place a host-local numpy batch onto the mesh.
 
     Single-process: plain device_put per sharding. Multi-process: each host
     contributes its local slice of the global batch (the per-host data
     shard, reference data/data.py:201-203) via
     ``jax.make_array_from_process_local_data`` — the global batch is the
-    concatenation of every host's arrays along the data axis.
+    concatenation of every host's arrays along the data axis. ``ragged``:
+    see batch_shardings — non-divisible batch leaves raise in multi-process
+    mode unless the caller passes "replicate".
     """
-    shardings = batch_shardings(mesh, batch, stacked=stacked)
+    shardings = batch_shardings(mesh, batch, stacked=stacked, ragged=ragged)
     if jax.process_count() == 1:
         return jax.tree_util.tree_map(
             lambda x, s: jax.device_put(x, s), batch, shardings)

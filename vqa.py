@@ -154,8 +154,9 @@ def validate(model, state, opts, logits_fn, mesh):
     for _ in range(opts.val_batches):
         batch = tl.next_batch()
         batch.pop("_bucket", None)
-        logits = np.asarray(logits_fn(state.params,
-                                      M.shard_batch(mesh, batch)))
+        # val DB is unsharded → host-identical, ragged replication is safe
+        logits = np.asarray(logits_fn(
+            state.params, M.shard_batch(mesh, batch, ragged="replicate")))
         pred = logits.argmax(-1)
         tgt = np.asarray(batch["soft_targets"])
         live = np.asarray(batch["attn_mask"]).sum(-1) > 0
