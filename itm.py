@@ -53,6 +53,13 @@ def main(opts):
     cfg = UC2Config.from_json_file(opts.model_config).replace(
         dtype=opts.dtype)
     model = UC2ForImageTextRetrieval(cfg, margin=opts.margin)
+    # --quant int8: serving quantization for eval/validation scoring only
+    # (reference serves fp16 scoring, itm.py:516-538; training stays in
+    # opts.dtype — same param tree, the quantized path re-quantizes the
+    # fp32 kernels on the fly)
+    eval_model = (UC2ForImageTextRetrieval(cfg.replace(quant=opts.quant),
+                                           margin=opts.margin)
+                  if opts.quant != "none" else model)
     params = model.init_params(jax.random.PRNGKey(opts.seed))
     params = jax.tree_util.tree_map(np.asarray, params)
     if opts.checkpoint:
@@ -208,7 +215,8 @@ def main(opts):
                 if opts.full_val:
                     # all-pairs matrix (reference evaluate(), itm.py:492-538)
                     log = full_retrieval_eval(
-                        model, host_params(state), val_txt_db, val_img_db,
+                        eval_model, host_params(state), val_txt_db,
+                        val_img_db,
                         opts.max_txt_len + 2, opts.max_bb,
                         batch_size=opts.eval_batch_size,
                         txt_ids=val_txt_db.ids[:opts.eval_txt_limit]
@@ -217,7 +225,8 @@ def main(opts):
                     # rank GT among a 400-image pool (reference validate(),
                     # itm.py:448-489)
                     log = quick_validate(
-                        model, host_params(state), val_txt_db, val_img_db,
+                        eval_model, host_params(state), val_txt_db,
+                        val_img_db,
                         opts.max_txt_len + 2, opts.max_bb,
                         n_txts=opts.eval_txt_limit or None,
                         batch_size=opts.eval_batch_size)
@@ -247,8 +256,8 @@ def main(opts):
             tdb = TxtTokDb(spec["db"], max_txt_len=opts.max_txt_len)
             idb = DetectFeatDb(spec["img"], opts.conf_th, opts.max_bb,
                                opts.min_bb, opts.num_bb)
-            log = full_retrieval_eval(model, host_params(state), tdb, idb,
-                                      opts.max_txt_len + 2, opts.max_bb,
+            log = full_retrieval_eval(eval_model, host_params(state), tdb,
+                                      idb, opts.max_txt_len + 2, opts.max_bb,
                                       batch_size=opts.eval_batch_size)
             LOGGER.info("test [%s]: %s", spec.get("name", spec["db"]),
                         {k: round(v, 4) for k, v in log.items()})
@@ -287,6 +296,8 @@ def build_parser():
     p.add_argument("--train_batch_size", type=int, default=40,
                    help="examples (groups × sample_size) per step")
     p.add_argument("--eval_batch_size", type=int, default=64)
+    p.add_argument("--quant", choices=["none", "int8"], default="none",
+                   help="serving quantization for eval/validation scoring")
     p.add_argument("--eval_txt_limit", type=int, default=0)
     p.add_argument("--full_val", action="store_true",
                    help="full score-matrix validation instead of the "

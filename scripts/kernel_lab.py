@@ -295,8 +295,11 @@ def block_race(args):
     mask[:, -13:] = 0
     bias = jnp.asarray(((1.0 - mask) * -10000.0)[:, None, None, :],
                        jnp.float32)
-    for name, fn in (("fusedblock", fused_attn_block),
-                     ("xlablock", xla_attn_block)):
+    racers = [("fusedblock", fused_attn_block), ("xlablock", xla_attn_block)]
+    for bb in (2, 4, 8):
+        racers.append((f"fusedblock_bb{bb}",
+                       functools.partial(fused_attn_block, BB=bb)))
+    for name, fn in racers:
         @jax.jit
         def chain(q, k, v, fn=fn):
             def body(c, _):

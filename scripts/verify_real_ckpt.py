@@ -169,6 +169,9 @@ def main(argv=None):
                     help="skip the torch-oracle logit parity stage")
     ap.add_argument("--dtype", default="float32",
                     help="eval dtype (float32 for parity, bfloat16 on TPU)")
+    ap.add_argument("--quant", choices=["none", "int8"], default="none",
+                    help="ALSO run the eval with int8 serving quantization "
+                         "and report the R@K deltas vs the unquantized run")
     args = ap.parse_args(argv)
 
     import jax
@@ -224,6 +227,19 @@ def main(argv=None):
         batch_size=args.batch_size, txt_ids=txt_ids)
     report["retrieval"] = {k: round(float(v), 4) for k, v in metrics.items()}
     print("[verify] retrieval:", report["retrieval"])
+
+    if args.quant != "none":
+        qmodel = UC2ForImageTextRetrieval(cfg.replace(quant=args.quant))
+        qmetrics = full_retrieval_eval(
+            qmodel, params, txt_db, img_db, args.max_txt_len + 2,
+            args.num_bb, batch_size=args.batch_size, txt_ids=txt_ids)
+        report["retrieval_int8"] = {k: round(float(v), 4)
+                                    for k, v in qmetrics.items()}
+        report["retrieval_int8_delta"] = {
+            k: round(float(qmetrics[k]) - float(metrics[k]), 4)
+            for k in metrics}
+        print("[verify] retrieval int8:", report["retrieval_int8"])
+        print("[verify] int8 R@K delta:", report["retrieval_int8_delta"])
     print(json.dumps(report, default=str))
     return report
 

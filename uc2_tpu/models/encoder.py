@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from uc2_tpu.config import UC2Config
-from uc2_tpu.ops.attention import multi_head_attention
+from uc2_tpu.ops.attention import _on_tpu, multi_head_attention
 
 
 def create_position_ids_from_input_ids(input_ids: jnp.ndarray,
@@ -185,8 +185,14 @@ class ImageEmbeddings(nn.Module):
 
 
 class SelfAttention(nn.Module):
-    """Multi-head self-attention (reference model/layer.py:53-101), fused QKV."""
+    """Multi-head self-attention (reference model/layer.py:53-101), fused QKV.
+
+    ``return_qkv``: skip the attention math and hand the projected
+    [B, L, n, d] heads to the caller — the EncoderLayer's fused-block path
+    consumes them directly (ops/fused_block.py) while the qkv params stay
+    at their usual tree location (attention/qkv)."""
     config: UC2Config
+    return_qkv: bool = False
 
     @nn.compact
     def __call__(self, x, attn_bias, deterministic=True):
@@ -196,6 +202,9 @@ class SelfAttention(nn.Module):
         qkv = Dense(3 * H, dtype=jnp.dtype(cfg.dtype), quant=cfg.quant,
                     name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        if self.return_qkv:
+            return (q.reshape(B, L, n, d), k.reshape(B, L, n, d),
+                    v.reshape(B, L, n, d))
         dropout_rng = None
         rate = cfg.attention_probs_dropout_prob
         if not deterministic and rate > 0:
@@ -208,6 +217,59 @@ class SelfAttention(nn.Module):
             use_pallas=cfg.use_pallas_attention,
         )
         return ctx.reshape(B, L, H)
+
+
+class DenseP(nn.Module):
+    """Dense with setup-style params + ``raw()`` access, a drop-in for Dense
+    at known in_features — used where a fused kernel consumes the kernel and
+    bias directly. Identical param names/shapes/init to Dense, so the
+    checkpoint tree is unchanged."""
+    in_features: int
+    features: int
+    dtype: Any = jnp.float32
+    quant: str = "none"
+
+    def setup(self):
+        self.kernel = self.param("kernel",
+                                 nn.initializers.normal(stddev=0.02),
+                                 (self.in_features, self.features),
+                                 jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+
+    def __call__(self, x):
+        if self.quant == "int8":
+            y = int8_matmul(x, self.kernel, self.dtype)
+        else:
+            y = jnp.dot(x.astype(self.dtype), self.kernel.astype(self.dtype),
+                        preferred_element_type=self.dtype)
+        return y + self.bias.astype(self.dtype)
+
+    def raw(self):
+        return self.kernel, self.bias
+
+
+class LayerNormP(nn.Module):
+    """LayerNorm with setup-style params + ``raw()`` access (see DenseP)."""
+    dim: int
+    eps: float = 1e-12
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.weight = self.param("weight", nn.initializers.ones,
+                                 (self.dim,), jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.dim,), jnp.float32)
+
+    def __call__(self, x):
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * self.weight + self.bias).astype(self.dtype)
+
+    def raw(self):
+        return self.weight, self.bias
 
 
 class EncoderLayer(nn.Module):
@@ -227,14 +289,38 @@ class EncoderLayer(nn.Module):
         deterministic = self.deterministic
         dtype = jnp.dtype(cfg.dtype)
         eps = cfg.block_layer_norm_eps
-        attn_out = SelfAttention(cfg, name="attention")(
-            x, attn_bias, deterministic)
-        attn_out = Dense(cfg.hidden_size, dtype=dtype, quant=cfg.quant,
-                         name="attention_output_dense")(attn_out)
-        attn_out = nn.Dropout(cfg.hidden_dropout_prob)(
-            attn_out, deterministic=deterministic)
-        x = LayerNorm(eps=eps, dtype=dtype, name="attention_output_LayerNorm")(
-            attn_out + x)
+        H = cfg.hidden_size
+        impl = {False: "xla", True: "pallas"}.get(cfg.use_pallas_attention,
+                                                  cfg.use_pallas_attention)
+        # whole-block fusion (attention + out-proj + residual + LN in one
+        # Pallas kernel, ops/fused_block.py) on the inference path at shapes
+        # where it wins on chip; "fused-force" exercises it in interpreter
+        # mode regardless of platform/shape (CPU tests)
+        from uc2_tpu.ops.fused_block import (fused_attn_block,
+                                             fused_block_profitable)
+        force = impl == "fused-force"
+        fuse = (deterministic and cfg.quant == "none"
+                and (force or (impl not in ("xla",) and _on_tpu()
+                               and fused_block_profitable(
+                                   x.shape[1], cfg.num_attention_heads))))
+        attn = SelfAttention(cfg, return_qkv=fuse, name="attention")
+        od = DenseP(H, H, dtype=dtype, quant=cfg.quant,
+                    name="attention_output_dense")
+        oln = LayerNormP(H, eps=eps, dtype=dtype,
+                         name="attention_output_LayerNorm")
+        if fuse:
+            q, k, v = attn(x, attn_bias, deterministic)
+            wo, bo = od.raw()
+            gamma, beta = oln.raw()
+            x = fused_attn_block(q, k, v, attn_bias, x, wo.astype(dtype),
+                                 bo, gamma, beta, eps=eps,
+                                 interpret=not _on_tpu())
+        else:
+            attn_out = attn(x, attn_bias, deterministic)
+            attn_out = od(attn_out)
+            attn_out = nn.Dropout(cfg.hidden_dropout_prob)(
+                attn_out, deterministic=deterministic)
+            x = oln(attn_out + x)
         h = Dense(cfg.intermediate_size, dtype=dtype, quant=cfg.quant,
                   name="intermediate_dense")(x)
         h = gelu(h)

@@ -1,0 +1,123 @@
+"""Fused attention block: attention → out-projection → +residual → LayerNorm
+in ONE Pallas kernel (inference path).
+
+The reference runs these as four separate modules (BertSelfAttention +
+BertSelfOutput: dense, residual add, LayerNorm — model/layer.py:104-170);
+under XLA that chain round-trips the [B, L, H] context and the pre-LN sum
+through HBM between fusions. At retrieval-scoring shapes attention is
+~45-55% of wall time at ~6% of the FLOPs — memory/layout-bound — so the win
+is keeping everything per grid cell in VMEM. Raced on a v5e (B=64, n=12,
+d=64, bench_results.txt): 0.990 ms vs 1.296 ms XLA at L=162 (the worst-case
+Nb=100 eval bucket, −24%); XLA stays ahead at L≤128, so dispatch is gated on
+L (see ``fused_block_profitable``).
+
+Mosaic notes:
+  * the heads→hidden merge ([.., L, n, d] → [.., L, n·d]) is an unsupported
+    minor-dims shape cast — the out-projection is instead decomposed into n
+    static per-head dots y += ctx_h · Wo[h·d:(h+1)·d, :] (identical FLOPs);
+  * fp32 scores/softmax/LN statistics, bf16 matmul operands;
+  * grid over batch blocks; K/V for the whole row fit VMEM at L ≤ 512
+    (SURVEY §5: the reference asserts joint length ≤ 512).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _block_kernel(q_ref, k_ref, v_ref, bias_ref, x_ref, wo_ref, bo_ref,
+                  g_ref, b_ref, o_ref, *, scale, n, L, d, eps):
+    BB = q_ref.shape[0]
+    H = n * d
+    q = q_ref[...].reshape(BB * n, L, d)
+    k = k_ref[...].reshape(BB * n, L, d)
+    v = v_ref[...].reshape(BB * n, L, d)
+    bias = bias_ref[...].reshape(BB, 1, 1, L)
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    s = s.reshape(BB, n, L, L) * scale + bias.astype(jnp.float32)
+    s = s.reshape(BB * n, L, L)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+    ctx = jax.lax.dot_general(
+        p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)           # [BB*n, L, d]
+    # heads → hidden without a minor-dims shape cast (Mosaic rejects
+    # vector<..x n x d> → vector<..x n·d>): per-head dots, summed
+    ctx = ctx.reshape(BB, n, L, d).astype(wo_ref.dtype)
+    y = jnp.zeros((BB, L, H), jnp.float32)
+    for h in range(n):
+        y = y + jax.lax.dot_general(
+            ctx[:, h], wo_ref[h * d:(h + 1) * d, :],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    y = y + bo_ref[...].astype(jnp.float32) + x_ref[...].astype(jnp.float32)
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+    yn = (y - mu) * jax.lax.rsqrt(var + eps)
+    yn = yn * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    o_ref[...] = yn.astype(o_ref.dtype)
+
+
+def fused_attn_block(q, k, v, bias, x, wo, bo, gamma, beta,
+                     eps: float = 1e-12, BB: int = 0,
+                     interpret: bool = False):
+    """One encoder attention block, fused.
+
+    q,k,v  [B, L, n, d]   post-projection heads (bf16/fp32)
+    bias   [B, 1, 1, L]   additive mask ((1-m)·-10000)
+    x      [B, L, H]      block input (residual)
+    wo     [H, H], bo [H] out-projection (wo in compute dtype)
+    gamma, beta [H]       LayerNorm affine (fp32)
+    Returns LayerNorm(x + ctx·wo + bo) as [B, L, H] in x.dtype.
+    """
+    B, L, n, d = q.shape
+    H = n * d
+    qt, kt, vt = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+    if BB <= 0:
+        BB = max(1, (4 * 1024 * 1024) // (n * L * L * 4))
+    BB = math.gcd(BB, B)
+    kernel = functools.partial(_block_kernel, scale=1.0 / math.sqrt(d),
+                               n=n, L=L, d=d, eps=float(eps))
+    bspec = lambda shape, im: pl.BlockSpec(shape, im,
+                                           memory_space=pltpu.VMEM)
+    i4 = lambda b: (b, 0, 0, 0)
+    i3 = lambda b: (b, 0, 0)
+    iw = lambda b: (0, 0)
+    iv = lambda b: (0,)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // BB,),
+        in_specs=[
+            bspec((BB, n, L, d), i4), bspec((BB, n, L, d), i4),
+            bspec((BB, n, L, d), i4), bspec((BB, 1, 1, L), i4),
+            bspec((BB, L, H), i3),
+            bspec((H, H), iw), bspec((H,), iv),
+            bspec((H,), iv), bspec((H,), iv),
+        ],
+        out_specs=bspec((BB, L, H), i3),
+        out_shape=jax.ShapeDtypeStruct((B, L, H), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * n * L * L * d + 2 * B * L * H * H,
+            bytes_accessed=(6 * B * L * H) * q.dtype.itemsize,
+            transcendentals=B * n * L * L),
+    )(qt, kt, vt, bias, x, wo, bo, gamma, beta)
+
+
+def fused_block_profitable(L: int, n: int) -> bool:
+    """Shape gate from the on-chip race (bench_results.txt, v5e, B=64,
+    n=12, d=64): the fused block wins at L=162 (0.990 vs 1.296 ms, −24%)
+    and loses at L=128 (0.866 vs 0.798, +8.5%) — the XLA chain's matmuls
+    ride lane-aligned 128-multiples, while the fused kernel's VMEM win
+    dominates at ragged L. Gate: L not a multiple of 128 and big enough
+    that the [L, L] round-trip matters."""
+    return L > 128 and L % 128 != 0
