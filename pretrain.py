@@ -177,10 +177,11 @@ def main(opts):
                       stack_microbatches=stack, sync_buckets=multi)
     # background thread assembles the next batches while the device runs
     # the current step (reference PrefetchLoader's H2D side stream,
-    # data/loader.py:85-140). Multi-host runs skip it: the per-window
-    # bucket broadcast is a global collective and must not race the main
-    # thread's mesh programs.
-    if not multi:
+    # data/loader.py:85-140). Multi-host included: the per-window bucket
+    # sync goes through the coordination-service KV store (no device
+    # collective), so the prefetch thread cannot desynchronize the main
+    # thread's mesh-program order across hosts.
+    if not opts.no_prefetch:
         from uc2_tpu.data.loader import PrefetchLoader
         meta = PrefetchLoader(meta, depth=2)
 
@@ -487,6 +488,9 @@ def build_parser():
                    help="accumulate gradients on the host across separate "
                         "grad dispatches instead of the in-step lax.scan "
                         "(allows mixed-bucket windows)")
+    p.add_argument("--no_prefetch", action="store_true",
+                   help="disable the input-prefetch thread (A/B baseline; "
+                        "prefetch is on by default, single- and multi-host)")
     p.add_argument("--save_steps", type=int, default=200)
     p.add_argument("--log_steps", type=int, default=100)
     p.add_argument("--seed", type=int, default=42)

@@ -55,6 +55,27 @@ ids0 = TxtTokDb(meta["txt_db"], max_txt_len=20, shard=(0, 2)).ids
 ids1 = TxtTokDb(meta["txt_db"], max_txt_len=20, shard=(1, 2)).ids
 assert not set(ids0) & set(ids1) and ids0 and ids1
 
+# ---- part 1b: the coordination-service KV broadcast (the primitive that
+# makes multi-host input prefetch safe) from a BACKGROUND thread while the
+# main thread dispatches device programs — no device collective involved,
+# so the interleave cannot desynchronize hosts
+import threading
+from uc2_tpu.parallel import multihost as MH
+res = {}
+def bg():
+    for i in range(3):
+        res[i] = MH.kv_broadcast_object(
+            f"uc2/test/thread/{i}", {"win": i, "val": 42} if pid == 0
+            else None)
+t = threading.Thread(target=bg)
+t.start()
+import jax.numpy as jnp
+for _ in range(8):
+    jnp.sum(jnp.ones((128, 128))).block_until_ready()
+t.join(timeout=120)
+assert not t.is_alive(), "kv broadcast deadlocked"
+assert res == {i: {"win": i, "val": 42} for i in range(3)}, res
+
 # ---- part 2: host-sharded retrieval eval == 1-process metrics
 from uc2_tpu.config import UC2Config
 from uc2_tpu.data.db import DetectFeatDb

@@ -242,14 +242,20 @@ class MetaLoader:
     def __iter__(self):
         return self
 
-    def _synced_batch(self, loader: TaskLoader) -> Dict[str, np.ndarray]:
+    def _synced_batch(self, loader: TaskLoader,
+                      step: int) -> Dict[str, np.ndarray]:
+        # bucket sync rides the coordination-service KV store, NOT a device
+        # collective — so this may run on a prefetch thread concurrently
+        # with the main thread's mesh programs (device-collective order
+        # stays identical on every host). Key is unique per window.
         from uc2_tpu.parallel import multihost as MH
         n = self.accum_steps if self.stack else None
+        key = f"uc2/bucket/{step}"
         if MH.process_index() == 0:
             batch = (loader.next_stacked(n) if n else loader.next_batch())
-            MH.broadcast_object(int(batch["_bucket"]))
+            MH.kv_broadcast_object(key, int(batch["_bucket"]))
             return batch
-        b = MH.broadcast_object(None)
+        b = MH.kv_broadcast_object(key)
         return (loader.next_stacked(n, bucket=b) if n
                 else loader.next_batch(bucket=b))
 
@@ -258,8 +264,9 @@ class MetaLoader:
         name = self._pick(window)
         loader = self.loaders[name]
         if self.sync_buckets:
+            step = self.step
             self.step += self.accum_steps if self.stack else 1
-            return name, self._synced_batch(loader)
+            return name, self._synced_batch(loader, step)
         if self.stack:
             self.step += self.accum_steps
             return name, loader.next_stacked(self.accum_steps)

@@ -93,6 +93,36 @@ def broadcast_object(obj: Any, root: int = 0, max_bytes: int = 1 << 20) -> Any:
     return pickle.loads(row[8:8 + n].tobytes())
 
 
+def kv_broadcast_object(key: str, obj: Any = None, root: int = 0,
+                        timeout_ms: int = 600_000) -> Any:
+    """Broadcast a small picklable object from ``root`` via the
+    jax.distributed coordination-service key-value store.
+
+    Unlike broadcast_object (multihost_utils.broadcast_one_to_all, a DEVICE
+    collective), this is a pure RPC to the coordinator: it dispatches no
+    device program, so it is safe to call from a background/prefetch thread
+    while the main thread runs mesh programs — device collectives stay
+    identically ordered on every host no matter how the threads interleave.
+    Used for the per-window bucket-choice sync (data/loader.py), which is
+    what lets multi-host input prefetch overlap batch assembly with the
+    device step. ``key`` must be unique per broadcast (e.g. include the
+    step counter).
+    """
+    import base64
+    import jax
+    if jax.process_count() == 1:
+        return obj
+    from jax._src import distributed
+    client = distributed.global_state.client
+    assert client is not None, "jax.distributed not initialized"
+    if jax.process_index() == root:
+        client.key_value_set(key, base64.b64encode(
+            pickle.dumps(obj)).decode("ascii"))
+        return obj
+    payload = client.blocking_key_value_get(key, timeout_ms)
+    return pickle.loads(base64.b64decode(payload))
+
+
 def sum_across_hosts(value: float) -> float:
     """Scalar metric reduction (reference sums all_gather_list results,
     pretrain.py:707-709)."""
