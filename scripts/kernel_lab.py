@@ -191,79 +191,10 @@ def main():
 
 # ---------------------------------------------------------------- block race
 # Fused (attention → out-proj → +residual → LayerNorm) vs the XLA chain.
-# Saves the HBM roundtrips of ctx and the pre-LN sum (~64 MB/layer at
-# B=64/L=162) at the cost of an in-VMEM head transpose.
+# The kernel under race IS the production one (uc2_tpu/ops/fused_block.py)
+# so lab results can't drift from what ships.
 
-def _block_kernel(q_ref, k_ref, v_ref, bias_ref, x_ref, wo_ref, bo_ref,
-                  g_ref, b_ref, o_ref, *, scale, n, L, d, eps):
-    BB = q_ref.shape[0]
-    H = n * d
-    q = q_ref[...].reshape(BB * n, L, d)
-    k = k_ref[...].reshape(BB * n, L, d)
-    v = v_ref[...].reshape(BB * n, L, d)
-    bias = bias_ref[...].reshape(BB, 1, 1, L)
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    s = s.reshape(BB, n, L, L) * scale + bias.astype(jnp.float32)
-    s = s.reshape(BB * n, L, L)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
-    ctx = jax.lax.dot_general(
-        p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)           # [BB*n, L, d]
-    # heads → hidden without a minor-dims shape cast (Mosaic rejects
-    # vector<..x12x64> → vector<..x768>): out-projection decomposed per
-    # head, y = Σ_h ctx_h · Wo[h·d:(h+1)·d, :] — n static unrolled dots,
-    # identical FLOPs to the single [L,H]·[H,H] matmul
-    ctx = ctx.reshape(BB, n, L, d).astype(wo_ref.dtype)
-    y = jnp.zeros((BB, L, H), jnp.float32)
-    for h in range(n):
-        y = y + jax.lax.dot_general(
-            ctx[:, h], wo_ref[h * d:(h + 1) * d, :],
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    y = y + bo_ref[...].astype(jnp.float32) + x_ref[...].astype(jnp.float32)
-    mu = jnp.mean(y, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
-    yn = (y - mu) * jax.lax.rsqrt(var + eps)
-    yn = yn * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
-    o_ref[...] = yn.astype(o_ref.dtype)
-
-
-def fused_attn_block(q, k, v, bias, x, wo, bo, gamma, beta, BB=0):
-    B, L, n, d = q.shape
-    H = n * d
-    qt, kt, vt = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
-    if BB <= 0:
-        BB = max(1, (4 * 1024 * 1024) // (n * L * L * 4))
-    BB = math.gcd(BB, B)
-    kernel = functools.partial(_block_kernel, scale=1.0 / math.sqrt(d),
-                               n=n, L=L, d=d, eps=1e-12)
-    bspec = lambda shape, im: pl.BlockSpec(shape, im,
-                                           memory_space=pltpu.VMEM)
-    i4 = lambda b: (b, 0, 0, 0)
-    i3 = lambda b: (b, 0, 0)
-    iw = lambda b: (0, 0)
-    iv = lambda b: (0,)
-    return pl.pallas_call(
-        kernel,
-        grid=(B // BB,),
-        in_specs=[
-            bspec((BB, n, L, d), i4), bspec((BB, n, L, d), i4),
-            bspec((BB, n, L, d), i4), bspec((BB, 1, 1, L), i4),
-            bspec((BB, L, H), i3),
-            bspec((H, H), iw), bspec((H,), iv),
-            bspec((H,), iv), bspec((H,), iv),
-        ],
-        out_specs=bspec((BB, L, H), i3),
-        out_shape=jax.ShapeDtypeStruct((B, L, H), x.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * B * n * L * L * d + 2 * B * L * H * H,
-            bytes_accessed=(6 * B * L * H) * q.dtype.itemsize,
-            transcendentals=B * n * L * L),
-    )(qt, kt, vt, bias, x, wo, bo, gamma, beta)
+from uc2_tpu.ops.fused_block import fused_attn_block
 
 
 def xla_attn_block(q, k, v, bias, x, wo, bo, gamma, beta):

@@ -101,6 +101,11 @@ def collate_batch(examples: List[Dict[str, Any]], spec: BucketSpec,
     has_img = any("img_feat" in e for e in examples)
     img_dim = (np.asarray(examples[0]["img_feat"]).shape[-1]
                if has_img else 0)
+    # the feature slab follows the examples' dtype: fp16-on-disk features
+    # stay fp16 through collate and H2D (DetectFeatDb.keep_fp16) — the
+    # model upcasts on device
+    img_dtype = (np.asarray(examples[0]["img_feat"]).dtype
+                 if has_img else np.float32)
 
     out: Dict[str, np.ndarray] = {
         "input_ids": np.full((B, Lt), pad_token_id, np.int32),
@@ -110,14 +115,14 @@ def collate_batch(examples: List[Dict[str, Any]], spec: BucketSpec,
         "ex_mask": np.zeros((B,), np.float32),
     }
     if has_img:
-        out["img_feat"] = np.zeros((B, Nb, img_dim), np.float32)
+        out["img_feat"] = np.zeros((B, Nb, img_dim), img_dtype)
         out["img_pos_feat"] = np.zeros((B, Nb, 7), np.float32)
-        # big copies ([nbb, 2048] fp32 per example) go through the native
+        # big copies ([nbb, 2048] per example) go through the native
         # threaded packer when layouts allow (csrc u2s_pack); the
         # per-example loop below skips whatever was packed here
         from uc2_tpu.data.native_build import pack_ragged
         feats = [np.asarray(e["img_feat"])[:Nb] if "img_feat" in e
-                 else np.zeros((0, img_dim), np.float32) for e in examples]
+                 else np.zeros((0, img_dim), img_dtype) for e in examples]
         packed_feat = pack_ragged(feats, out["img_feat"])
         pos = [np.asarray(e["img_pos_feat"])[:Nb] if "img_pos_feat" in e
                else np.zeros((0, 7), np.float32) for e in examples]
@@ -142,8 +147,12 @@ def collate_batch(examples: List[Dict[str, Any]], spec: BucketSpec,
             ex0 = next((e for e in examples if key in e), None)
             if ex0 is None:
                 continue
-            tgt_dim = np.asarray(ex0[key]).shape[-1]
-            out[key] = np.zeros((B, M, tgt_dim), np.float32)
+            tgt0 = np.asarray(ex0[key])
+            # slot targets keep the source dtype (fp16 features stay fp16
+            # through H2D; losses upcast on device)
+            out[key] = np.zeros((B, M, tgt0.shape[-1]),
+                                tgt0.dtype if tgt0.dtype == np.float16
+                                else np.float32)
 
     for b, e in enumerate(examples):
         ids = np.asarray(e["input_ids"])[:Lt]

@@ -40,11 +40,18 @@ class DetectFeatDb:
     """
 
     def __init__(self, img_dir: str, conf_th: float = 0.2, max_bb: int = 100,
-                 min_bb: int = 10, num_bb: int = 36, native: bool = True):
+                 min_bb: int = 10, num_bb: int = 36, native: bool = True,
+                 keep_fp16: bool = True):
         self.img_dir = img_dir
         self.conf_th = conf_th
         self.max_bb = max_bb
         self.min_bb = min_bb
+        # features stored fp16 stay fp16 through collate and H2D — half the
+        # host memcpy and transfer bytes of the input pipeline's dominant
+        # field; the model upcasts on device (ImageEmbeddings astype). The
+        # reference instead upcasts at load (data/data.py:24-27) and ships
+        # fp32 to the GPU.
+        self.keep_fp16 = keep_fp16
         self._cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
         self.db = StoreReader(os.path.join(img_dir, "feat.u2s"), native=native)
         if conf_th == -1:
@@ -92,7 +99,9 @@ class DetectFeatDb:
 
     def _decode(self, rec, fname: str) -> Tuple[np.ndarray, np.ndarray]:
         nbb = self.name2nbb[fname]
-        feat = np.asarray(rec["features"])[:nbb].astype(np.float32)
+        feat = np.asarray(rec["features"])[:nbb]
+        if not (self.keep_fp16 and feat.dtype == np.float16):
+            feat = feat.astype(np.float32)
         bb = np.asarray(rec["norm_bb"])[:nbb].astype(np.float32)
         bb7 = np.concatenate([bb, bb[:, 4:5] * bb[:, 5:6]], axis=-1)
         return feat, bb7
