@@ -143,10 +143,12 @@ def main():
     ap.add_argument("--num_bb", type=int, default=100)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--variants", nargs="*", default=list(VARIANTS))
-    ap.add_argument("--mode", choices=["op", "block"], default="op")
+    ap.add_argument("--mode", choices=["op", "block", "ffn"], default="op")
     args = ap.parse_args()
     if args.mode == "block":
         return block_race(args)
+    if args.mode == "ffn":
+        return ffn_race(args)
 
     B, L = args.batch, args.txt_len + args.num_bb
     n, d = 12, 64
@@ -195,6 +197,117 @@ def main():
 # so lab results can't drift from what ships.
 
 from uc2_tpu.ops.fused_block import fused_attn_block
+
+
+# ---------------------------------------------------------------- ffn race
+# Row-tiled fused FFN block: LN2(gelu(x·W1+b1)·W2+b2 + x). Both weight
+# matrices (768×3072 ×2 ≈ 9.4 MB bf16) stay VMEM-resident across grid
+# cells (constant index map → the pipeline skips the re-fetch), and the
+# [R, 3072] intermediate never touches HBM — the XLA chain writes/reads it
+# (63 MB bf16 at B=64/L=162).
+
+def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, b_ref,
+                o_ref, *, eps):
+    x = x_ref[...]
+    h = jax.lax.dot_general(
+        x, w1_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    h = h + b1_ref[...].astype(jnp.float32)
+    h = jax.nn.gelu(h, approximate=False).astype(x.dtype)
+    y = jax.lax.dot_general(
+        h, w2_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = y + b2_ref[...].astype(jnp.float32) + x.astype(jnp.float32)
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+    yn = (y - mu) * jax.lax.rsqrt(var + eps)
+    yn = yn * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    o_ref[...] = yn.astype(o_ref.dtype)
+
+
+def fused_ffn_block(x, w1, b1, w2, b2, gamma, beta, eps=1e-12, R=256,
+                    vmem_mb=100):
+    B, L, H = x.shape
+    F = w1.shape[1]
+    rows = B * L
+    xr = x.reshape(rows, H)
+    pad = (-rows) % R
+    if pad:
+        xr = jnp.pad(xr, ((0, pad), (0, 0)))
+    n_tiles = xr.shape[0] // R
+    kernel = functools.partial(_ffn_kernel, eps=eps)
+    bspec = lambda shape, im: pl.BlockSpec(shape, im,
+                                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            bspec((R, H), lambda i: (i, 0)),
+            bspec((H, F), lambda i: (0, 0)), bspec((F,), lambda i: (0,)),
+            bspec((F, H), lambda i: (0, 0)), bspec((H,), lambda i: (0,)),
+            bspec((H,), lambda i: (0,)), bspec((H,), lambda i: (0,)),
+        ],
+        out_specs=bspec((R, H), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((xr.shape[0], H), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * rows * H * F,
+            bytes_accessed=(2 * rows * H) * x.dtype.itemsize,
+            transcendentals=rows * F),
+    )(xr, w1, b1, w2, b2, gamma, beta)
+    return out[:rows].reshape(B, L, H)
+
+
+def xla_ffn_block(x, w1, b1, w2, b2, gamma, beta, eps=1e-12):
+    h = (x.astype(jnp.bfloat16) @ w1).astype(jnp.float32) + b1
+    h = jax.nn.gelu(h, approximate=False).astype(jnp.bfloat16)
+    y = (h @ w2).astype(jnp.float32) + b2 + x.astype(jnp.float32)
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+    yn = (y - mu) * jax.lax.rsqrt(var + eps)
+    return (yn * gamma + beta).astype(x.dtype)
+
+
+def ffn_race(args):
+    B, L = args.batch, args.txt_len + args.num_bb
+    H, F = 768, 3072
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, L, H)), jnp.bfloat16)
+    w1 = jnp.asarray(rng.standard_normal((H, F)) * 0.02, jnp.bfloat16)
+    b1 = jnp.asarray(rng.standard_normal((F,)) * 0.01, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((F, H)) * 0.02, jnp.bfloat16)
+    b2 = jnp.asarray(rng.standard_normal((H,)) * 0.01, jnp.float32)
+    gamma = jnp.ones((H,), jnp.float32)
+    beta = jnp.zeros((H,), jnp.float32)
+    racers = [("xlaffn", xla_ffn_block)]
+    for R in (128, 256, 512):
+        racers.append((f"fusedffn_r{R}",
+                       functools.partial(fused_ffn_block, R=R)))
+    ref = None
+    for name, fn in racers:
+        @jax.jit
+        def chain(x, fn=fn):
+            def body(c, _):
+                o = fn(x + c * 1e-30, w1, b1, w2, b2, gamma, beta)
+                return jnp.mean(o.astype(jnp.float32)), None
+            last, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                   length=args.iters)
+            return last
+        try:
+            out = np.asarray(fn(x, w1, b1, w2, b2, gamma, beta), np.float32)
+            if ref is None:
+                ref = out
+            err = np.max(np.abs(out - ref))
+            float(chain(x))
+            t0 = time.perf_counter()
+            float(chain(x))
+            dt = time.perf_counter() - t0
+            print(f"RESULT {name}: {dt / args.iters * 1e3:.3f} ms/block  "
+                  f"maxerr={err:.4f}", flush=True)
+        except Exception as e:
+            print(f"RESULT {name}: FAILED {type(e).__name__} "
+                  f"{str(e)[:200]}", flush=True)
 
 
 def xla_attn_block(q, k, v, bias, x, wo, bo, gamma, beta):

@@ -119,8 +119,10 @@ def cmd_train(args):
     from uc2_tpu.training import optim as O
     from uc2_tpu.training.step import make_split_train_step
     rng = np.random.default_rng(0)
+    attn = {"xla": False, "pallas": True}.get(args.attention,
+                                              args.attention)
     cfg = UC2Config(dtype=args.dtype, remat=args.remat,
-                    use_pallas_attention=args.attention == "pallas")
+                    use_pallas_attention=attn)
     model = UC2ForPretraining(cfg, lm_ce_chunks=args.ce_chunks)
     params = model.init_params(jax.random.PRNGKey(0))
     tx = O.build_optimizer(params, O.constant(4e-5), grad_norm=5.0)
@@ -213,7 +215,8 @@ def main():
     ps.add_argument("--quant", choices=["none", "int8"], default="none")
     pa = sub.add_parser("ab"); common(pa)
     pt = sub.add_parser("train"); common(pt)
-    pt.add_argument("--attention", choices=["xla", "pallas"],
+    pt.add_argument("--attention",
+                    choices=["xla", "pallas", "pallas-train"],
                     default="pallas")
     pt.add_argument("--accum", type=int, default=1)
     pt.add_argument("--task", default="mlm")
