@@ -206,57 +206,7 @@ from uc2_tpu.ops.fused_block import fused_attn_block
 # [R, 3072] intermediate never touches HBM — the XLA chain writes/reads it
 # (63 MB bf16 at B=64/L=162).
 
-def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, b_ref,
-                o_ref, *, eps):
-    x = x_ref[...]
-    h = jax.lax.dot_general(
-        x, w1_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    h = h + b1_ref[...].astype(jnp.float32)
-    h = jax.nn.gelu(h, approximate=False).astype(x.dtype)
-    y = jax.lax.dot_general(
-        h, w2_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    y = y + b2_ref[...].astype(jnp.float32) + x.astype(jnp.float32)
-    mu = jnp.mean(y, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
-    yn = (y - mu) * jax.lax.rsqrt(var + eps)
-    yn = yn * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
-    o_ref[...] = yn.astype(o_ref.dtype)
-
-
-def fused_ffn_block(x, w1, b1, w2, b2, gamma, beta, eps=1e-12, R=256,
-                    vmem_mb=100):
-    B, L, H = x.shape
-    F = w1.shape[1]
-    rows = B * L
-    xr = x.reshape(rows, H)
-    pad = (-rows) % R
-    if pad:
-        xr = jnp.pad(xr, ((0, pad), (0, 0)))
-    n_tiles = xr.shape[0] // R
-    kernel = functools.partial(_ffn_kernel, eps=eps)
-    bspec = lambda shape, im: pl.BlockSpec(shape, im,
-                                           memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            bspec((R, H), lambda i: (i, 0)),
-            bspec((H, F), lambda i: (0, 0)), bspec((F,), lambda i: (0,)),
-            bspec((F, H), lambda i: (0, 0)), bspec((H,), lambda i: (0,)),
-            bspec((H,), lambda i: (0,)), bspec((H,), lambda i: (0,)),
-        ],
-        out_specs=bspec((R, H), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((xr.shape[0], H), x.dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=vmem_mb * 1024 * 1024),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * rows * H * F,
-            bytes_accessed=(2 * rows * H) * x.dtype.itemsize,
-            transcendentals=rows * F),
-    )(xr, w1, b1, w2, b2, gamma, beta)
-    return out[:rows].reshape(B, L, H)
+from uc2_tpu.ops.fused_block import fused_ffn_block
 
 
 def xla_ffn_block(x, w1, b1, w2, b2, gamma, beta, eps=1e-12):

@@ -162,6 +162,56 @@ def cmd_train(args):
         f"{n / dt:.2f} steps/s, {B * args.accum * n / dt:.0f} ex/s")
 
 
+def cmd_train_ab(args):
+    """XLA vs pallas-train attention in ONE process, alternating trials —
+    the chip's state (post-wedge slowdowns, thermal drift) hits both arms
+    equally, unlike separate invocations."""
+    import jax
+    import jax.numpy as jnp
+    from uc2_tpu.config import UC2Config
+    from uc2_tpu.models.pretraining import UC2ForPretraining
+    from uc2_tpu.training import optim as O
+    from uc2_tpu.training.step import make_split_train_step
+    rng = np.random.default_rng(0)
+    B, Lt, Nb, M = args.batch, args.txt_len, args.num_bb, args.masked
+    batch = _scoring_batch(rng, B, Lt, Nb, 250002)
+    batch["masked_pos"] = jnp.asarray(
+        rng.integers(1, Lt, (B, M)).astype(np.int32))
+    batch["masked_weight"] = jnp.ones((B, M), np.float32)
+    batch["txt_labels"] = jnp.asarray(
+        rng.integers(4, 250002, (B, M)).astype(np.int32))
+    arms = {}
+    for impl in ("xla", "pallas-train"):
+        cfg = UC2Config(dtype=args.dtype,
+                        use_pallas_attention=(False if impl == "xla"
+                                              else impl))
+        model = UC2ForPretraining(cfg)
+        params = model.init_params(jax.random.PRNGKey(0))
+        tx = O.build_optimizer(params, O.constant(4e-5), grad_norm=5.0)
+        g, a = make_split_train_step(model, args.task, tx)
+        gj, aj = jax.jit(g), jax.jit(a, donate_argnums=(0, 1, 2))
+        opt_state = jax.jit(tx.init)(params)
+        t0 = time.time()
+        grads, m = gj(params, batch, jax.random.PRNGKey(0))
+        float(m["loss"])
+        params, opt_state = aj(grads, opt_state, params)
+        log(f"compile train_ab {impl}: {time.time() - t0:.1f}s")
+        arms[impl] = (gj, aj, params, opt_state)
+    for trial in range(args.trials):
+        row = []
+        for impl, (gj, aj, p, s) in arms.items():
+            t0 = time.perf_counter()
+            for i in range(args.iters):
+                grads, m = gj(p, batch, jax.random.PRNGKey(i))
+                p, s = aj(grads, s, p)
+            float(m["loss"])
+            dt = time.perf_counter() - t0
+            arms[impl] = (gj, aj, p, s)
+            row.append(f"{impl}={args.iters / dt:.2f}")
+        log(f"RESULT train_ab {args.task} B={B} M={M} trial{trial}: "
+            + " ".join(row) + " steps/s")
+
+
 def cmd_eval(args):
     import jax
     from uc2_tpu.config import UC2Config
@@ -224,6 +274,10 @@ def main():
     pt.add_argument("--remat", default=None)
     pt.add_argument("--ce_chunks", type=int, default=0)
     pt.set_defaults(iters=8)
+    pab = sub.add_parser("train_ab"); common(pab)
+    pab.add_argument("--task", default="mlm")
+    pab.add_argument("--masked", type=int, default=24)
+    pab.set_defaults(iters=8)
     pe = sub.add_parser("eval"); common(pe)
     pe.add_argument("--n_txt", type=int, default=256)
     pe.add_argument("--n_img", type=int, default=128)
@@ -238,7 +292,7 @@ def main():
     float(jnp.sum(jnp.ones((8, 8))))
     log("device ready", round(time.time() - t0, 1))
     {"score": cmd_score, "ab": cmd_ab, "train": cmd_train,
-     "eval": cmd_eval}[args.cmd](args)
+     "train_ab": cmd_train_ab, "eval": cmd_eval}[args.cmd](args)
     log(f"=== tpu_measure {args.cmd} done", time.strftime("%H:%M:%S"))
 
 

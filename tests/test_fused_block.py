@@ -10,7 +10,8 @@ import numpy as np
 from uc2_tpu.config import UC2Config
 from uc2_tpu.models.encoder import UC2Model
 from uc2_tpu.ops.attention import _xla_attention
-from uc2_tpu.ops.fused_block import fused_attn_block, fused_block_profitable
+from uc2_tpu.ops.fused_block import (fused_attn_block, fused_block_profitable,
+                                     fused_ffn_block)
 
 
 def _xla_chain(q, k, v, bias, x, wo, bo, gamma, beta, eps):
@@ -93,6 +94,30 @@ def test_encoder_fused_force_matches_unfused():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(pool_f), np.asarray(pool_x),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_fused_ffn_block_matches_xla_chain():
+    B, L, H, F = 2, 30, 32, 128
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((B, L, H)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((H, F)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((F,)) * 0.02, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((F, H)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((H,)) * 0.02, jnp.float32)
+    gamma = jnp.asarray(1.0 + rng.standard_normal((H,)) * 0.1, jnp.float32)
+    beta = jnp.asarray(rng.standard_normal((H,)) * 0.1, jnp.float32)
+
+    h = jax.nn.gelu(x @ w1 + b1, approximate=False)
+    y = (h @ w2 + b2 + x).astype(jnp.float32)
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+    want = ((y - mu) * jax.lax.rsqrt(var + 1e-12)) * gamma + beta
+
+    # R=16 exercises row tiling + the ragged pad (B·L=60 % 16 != 0)
+    got = fused_ffn_block(x, w1, b1, w2, b2, gamma, beta, eps=1e-12,
+                          R=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_profitability_gate():

@@ -297,12 +297,15 @@ class EncoderLayer(nn.Module):
         # where it wins on chip; "fused-force" exercises it in interpreter
         # mode regardless of platform/shape (CPU tests)
         from uc2_tpu.ops.fused_block import (fused_attn_block,
-                                             fused_block_profitable)
+                                             fused_block_profitable,
+                                             fused_ffn_block,
+                                             fused_ffn_profitable)
         force = impl == "fused-force"
-        fuse = (deterministic and cfg.quant == "none"
-                and (force or (impl not in ("xla",) and _on_tpu()
-                               and fused_block_profitable(
-                                   x.shape[1], cfg.num_attention_heads))))
+        fusable = (deterministic and cfg.quant == "none"
+                   and (force or (impl not in ("xla",) and _on_tpu())))
+        fuse = fusable and (force or fused_block_profitable(
+            x.shape[1], cfg.num_attention_heads))
+        fuse_ffn = fusable and (force or fused_ffn_profitable(x.shape[1]))
         attn = SelfAttention(cfg, return_qkv=fuse, name="attention")
         od = DenseP(H, H, dtype=dtype, quant=cfg.quant,
                     name="attention_output_dense")
@@ -321,13 +324,24 @@ class EncoderLayer(nn.Module):
             attn_out = nn.Dropout(cfg.hidden_dropout_prob)(
                 attn_out, deterministic=deterministic)
             x = oln(attn_out + x)
-        h = Dense(cfg.intermediate_size, dtype=dtype, quant=cfg.quant,
-                  name="intermediate_dense")(x)
-        h = gelu(h)
-        h = Dense(cfg.hidden_size, dtype=dtype, quant=cfg.quant,
-                  name="output_dense")(h)
-        h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
-        x = LayerNorm(eps=eps, dtype=dtype, name="output_LayerNorm")(h + x)
+        inter = DenseP(H, cfg.intermediate_size, dtype=dtype, quant=cfg.quant,
+                       name="intermediate_dense")
+        down = DenseP(cfg.intermediate_size, H, dtype=dtype, quant=cfg.quant,
+                      name="output_dense")
+        oln2 = LayerNormP(H, eps=eps, dtype=dtype, name="output_LayerNorm")
+        if fuse_ffn:
+            w1, b1 = inter.raw()
+            w2, b2 = down.raw()
+            g2, be2 = oln2.raw()
+            x = fused_ffn_block(x, w1.astype(dtype), b1, w2.astype(dtype),
+                                b2, g2, be2, eps=eps,
+                                interpret=not _on_tpu())
+        else:
+            h = gelu(inter(x))
+            h = down(h)
+            h = nn.Dropout(cfg.hidden_dropout_prob)(
+                h, deterministic=deterministic)
+            x = oln2(h + x)
         return x
 
 

@@ -113,6 +113,81 @@ def fused_attn_block(q, k, v, bias, x, wo, bo, gamma, beta,
     )(qt, kt, vt, bias, x, wo, bo, gamma, beta)
 
 
+def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, b_ref,
+                o_ref, *, eps):
+    x = x_ref[...]
+    h = jax.lax.dot_general(
+        x, w1_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    h = h + b1_ref[...].astype(jnp.float32)
+    # exact erf-form gelu (reference model/layer.py:31-37), spelled via
+    # lax.erf — jax.nn.gelu(approximate=False) lowers through erfc, which
+    # Mosaic does not implement
+    h = 0.5 * h * (1.0 + jax.lax.erf(h * (1.0 / math.sqrt(2.0))))
+    h = h.astype(x.dtype)
+    y = jax.lax.dot_general(
+        h, w2_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = y + b2_ref[...].astype(jnp.float32) + x.astype(jnp.float32)
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+    yn = (y - mu) * jax.lax.rsqrt(var + eps)
+    yn = yn * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    o_ref[...] = yn.astype(o_ref.dtype)
+
+
+def fused_ffn_block(x, w1, b1, w2, b2, gamma, beta, eps: float = 1e-12,
+                    R: int = 256, interpret: bool = False):
+    """Row-tiled fused FFN block: LN(gelu(x·W1+b1)·W2+b2 + x).
+
+    x [B, L, H]; W1 [H, F], W2 [F, H] in compute dtype; b1/b2/gamma/beta
+    fp32. Both weight matrices stay VMEM-resident across grid cells
+    (constant index map → the pipeline skips the re-fetch) and the [R, F]
+    intermediate never touches HBM — the XLA chain materializes it
+    ([B·L, 3072] bf16 ≈ 63 MB at B=64/L=162).
+    """
+    B, L, H = x.shape
+    F = w1.shape[1]
+    rows = B * L
+    xr = x.reshape(rows, H)
+    pad = (-rows) % R
+    if pad:
+        xr = jnp.pad(xr, ((0, pad), (0, 0)))
+    kernel = functools.partial(_ffn_kernel, eps=float(eps))
+    bspec = lambda shape, im: pl.BlockSpec(shape, im,
+                                           memory_space=pltpu.VMEM)
+    cp = {} if interpret else dict(
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024))
+    out = pl.pallas_call(
+        kernel,
+        grid=(xr.shape[0] // R,),
+        in_specs=[
+            bspec((R, H), lambda i: (i, 0)),
+            bspec((H, F), lambda i: (0, 0)), bspec((F,), lambda i: (0,)),
+            bspec((F, H), lambda i: (0, 0)), bspec((H,), lambda i: (0,)),
+            bspec((H,), lambda i: (0,)), bspec((H,), lambda i: (0,)),
+        ],
+        out_specs=bspec((R, H), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((xr.shape[0], H), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * rows * H * F,
+            bytes_accessed=(2 * rows * H) * x.dtype.itemsize,
+            transcendentals=rows * F),
+        **cp,
+    )(xr, w1, b1, w2, b2, gamma, beta)
+    return out[:rows].reshape(B, L, H)
+
+
+def fused_ffn_profitable(L: int) -> bool:
+    """Gate for the FFN-block fusion on the inference path. Off until an
+    on-chip race shows a win (kernel_lab --mode ffn); the XLA chain
+    measures 1.667 ms/block at L=162 / 1.382 at L=128 (B=64), so the
+    headroom exists — flip per-shape when confirmed."""
+    return False
+
+
 def fused_block_profitable(L: int, n: int) -> bool:
     """Shape gate from the on-chip race (bench_results.txt, v5e, B=64,
     n=12, d=64): the fused block wins at L=162 (0.990 vs 1.296 ms, −24%)
