@@ -163,15 +163,16 @@ def cmd_train(args):
 
 
 def cmd_train_ab(args):
-    """XLA vs pallas-train attention in ONE process, alternating trials —
-    the chip's state (post-wedge slowdowns, thermal drift) hits both arms
-    equally, unlike separate invocations."""
+    """XLA vs pallas-train attention, grad program only, in ONE process
+    with chained-scan timing — the only reliable methodology through this
+    tunnel (per-dispatch timing doesn't sync: the round-3 artifact was
+    xla=4.98 vs a chained 7.78, pure queue-bleed). The AdamW apply program
+    is identical in both arms and excluded."""
     import jax
     import jax.numpy as jnp
     from uc2_tpu.config import UC2Config
     from uc2_tpu.models.pretraining import UC2ForPretraining
-    from uc2_tpu.training import optim as O
-    from uc2_tpu.training.step import make_split_train_step
+    from uc2_tpu.training.step import make_loss_fn
     rng = np.random.default_rng(0)
     B, Lt, Nb, M = args.batch, args.txt_len, args.num_bb, args.masked
     batch = _scoring_batch(rng, B, Lt, Nb, 250002)
@@ -187,29 +188,34 @@ def cmd_train_ab(args):
                                               else impl))
         model = UC2ForPretraining(cfg)
         params = model.init_params(jax.random.PRNGKey(0))
-        tx = O.build_optimizer(params, O.constant(4e-5), grad_norm=5.0)
-        g, a = make_split_train_step(model, args.task, tx)
-        gj, aj = jax.jit(g), jax.jit(a, donate_argnums=(0, 1, 2))
-        opt_state = jax.jit(tx.init)(params)
+        loss_fn = make_loss_fn(model, args.task)
+
+        @jax.jit
+        def chain(params, batch, key):
+            def body(c, _):
+                b = dict(batch)
+                b["img_feat"] = batch["img_feat"] + c * 1e-30
+                (loss, _), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, b, key)
+                leaf = jax.tree_util.tree_leaves(grads)[0]
+                return loss + jnp.sum(leaf) * 1e-30 + c * 0.0, None
+            last, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                   length=args.iters)
+            return last
+
         t0 = time.time()
-        grads, m = gj(params, batch, jax.random.PRNGKey(0))
-        float(m["loss"])
-        params, opt_state = aj(grads, opt_state, params)
+        float(chain(params, batch, jax.random.PRNGKey(0)))
         log(f"compile train_ab {impl}: {time.time() - t0:.1f}s")
-        arms[impl] = (gj, aj, params, opt_state)
+        arms[impl] = (chain, params)
     for trial in range(args.trials):
         row = []
-        for impl, (gj, aj, p, s) in arms.items():
+        for impl, (chain, p) in arms.items():
             t0 = time.perf_counter()
-            for i in range(args.iters):
-                grads, m = gj(p, batch, jax.random.PRNGKey(i))
-                p, s = aj(grads, s, p)
-            float(m["loss"])
+            float(chain(p, batch, jax.random.PRNGKey(trial)))
             dt = time.perf_counter() - t0
-            arms[impl] = (gj, aj, p, s)
             row.append(f"{impl}={args.iters / dt:.2f}")
-        log(f"RESULT train_ab {args.task} B={B} M={M} trial{trial}: "
-            + " ".join(row) + " steps/s")
+        log(f"RESULT train_ab(grad-only) {args.task} B={B} M={M} "
+            f"trial{trial}: " + " ".join(row) + " steps/s")
 
 
 def cmd_eval(args):

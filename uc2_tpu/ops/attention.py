@@ -81,19 +81,21 @@ def multi_head_attention(q, k, v, bias, dropout_rate: float = 0.0,
                          dropout_rng=None, use_pallas=False):
     """Dispatch between attention backends.
 
-    ``use_pallas``: False/"xla" → einsum path, True/"pallas" → our fused
-    kernel for dropout-free (inference) calls with XLA for training
-    (default; fastest measured at this model's shapes), "pallas-train" →
-    additionally run training attention through flash_attention_train
-    (in-kernel probs dropout + Pallas backward — measured ~9% slower than
-    the XLA train path at uc2-base/L=162 on v5e, so opt-in), "flash" →
-    jax's stock TPU flash kernel.
+    ``use_pallas``: False/"xla" → einsum path. True/"pallas"/"pallas-train"
+    → our Pallas kernels everywhere: the fused inference kernel for
+    dropout-free calls AND flash_attention_train (in-kernel probs dropout +
+    full Pallas backward) for training. The chained-scan grad-only A/B at
+    uc2-base/L=162/B=64 on v5e measures pallas-train 24.8-26.1 vs XLA
+    17.7-17.9 steps/s (−31% step time); round 2's "9% slower" verdict came
+    from per-dispatch timing, which does not sync through this image's
+    tunnel and measured queue bleed, not compute (bench_results.txt,
+    train_ab). "flash" → jax's stock TPU flash kernel (inference only).
     """
     impl = {False: "xla", True: "pallas"}.get(use_pallas, use_pallas)
     if impl != "xla" and _on_tpu():
         try:
             if dropout_rate > 0.0 and dropout_rng is not None \
-                    and impl == "pallas-train":
+                    and impl in ("pallas", "pallas-train"):
                 # training path: in-kernel probs dropout + Pallas backward
                 # (reference dropout-after-softmax, model/layer.py:99-101)
                 from uc2_tpu.ops.flash_attention import flash_attention_train

@@ -113,6 +113,21 @@ def fused_attn_block(q, k, v, bias, x, wo, bo, gamma, beta,
     )(qt, kt, vt, bias, x, wo, bo, gamma, beta)
 
 
+def _erf_poly(x):
+    """erf via Abramowitz & Stegun 7.1.26 (max abs error 1.5e-7 — exact at
+    fp32 tolerance). Mosaic implements neither erf nor erfc, which is what
+    lax.erf / jax.nn.gelu(approximate=False) lower to; this uses only
+    exp/abs/sign, all supported."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    y = 1.0 - (((((a5 * t + a4) * t) + a3) * t + a2) * t + a1) * t \
+        * jnp.exp(-ax * ax)
+    return s * y
+
+
 def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, b_ref,
                 o_ref, *, eps):
     x = x_ref[...]
@@ -120,10 +135,8 @@ def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, b_ref,
         x, w1_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     h = h + b1_ref[...].astype(jnp.float32)
-    # exact erf-form gelu (reference model/layer.py:31-37), spelled via
-    # lax.erf — jax.nn.gelu(approximate=False) lowers through erfc, which
-    # Mosaic does not implement
-    h = 0.5 * h * (1.0 + jax.lax.erf(h * (1.0 / math.sqrt(2.0))))
+    # erf-form gelu (reference model/layer.py:31-37) via the polynomial erf
+    h = 0.5 * h * (1.0 + _erf_poly(h * (1.0 / math.sqrt(2.0))))
     h = h.astype(x.dtype)
     y = jax.lax.dot_general(
         h, w2_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
@@ -137,7 +150,7 @@ def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, b_ref,
 
 
 def fused_ffn_block(x, w1, b1, w2, b2, gamma, beta, eps: float = 1e-12,
-                    R: int = 256, interpret: bool = False):
+                    R: int = 512, interpret: bool = False):
     """Row-tiled fused FFN block: LN(gelu(x·W1+b1)·W2+b2 + x).
 
     x [B, L, H]; W1 [H, F], W2 [F, H] in compute dtype; b1/b2/gamma/beta
@@ -181,11 +194,12 @@ def fused_ffn_block(x, w1, b1, w2, b2, gamma, beta, eps: float = 1e-12,
 
 
 def fused_ffn_profitable(L: int) -> bool:
-    """Gate for the FFN-block fusion on the inference path. Off until an
-    on-chip race shows a win (kernel_lab --mode ffn); the XLA chain
-    measures 1.667 ms/block at L=162 / 1.382 at L=128 (B=64), so the
-    headroom exists — flip per-shape when confirmed."""
-    return False
+    """Gate for the FFN-block fusion on the inference path. On-chip race
+    (kernel_lab --mode ffn, v5e, B=64, R=512): fused wins at every eval
+    bucket — L=162: 1.358 vs 1.500 ms (−9.5%), L=128: 1.142-1.160 vs
+    1.456 (−21%), L=98: 1.034 vs 1.179 (−12%). Row-tiled, so the win is
+    shape-insensitive: always on."""
+    return True
 
 
 def fused_block_profitable(L: int, n: int) -> bool:
