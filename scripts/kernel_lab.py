@@ -143,12 +143,15 @@ def main():
     ap.add_argument("--num_bb", type=int, default=100)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--variants", nargs="*", default=list(VARIANTS))
-    ap.add_argument("--mode", choices=["op", "block", "ffn"], default="op")
+    ap.add_argument("--mode", choices=["op", "block", "ffn", "layer"],
+                    default="op")
     args = ap.parse_args()
     if args.mode == "block":
         return block_race(args)
     if args.mode == "ffn":
         return ffn_race(args)
+    if args.mode == "layer":
+        return layer_race(args)
 
     B, L = args.batch, args.txt_len + args.num_bb
     n, d = 12, 64
@@ -313,6 +316,76 @@ def block_race(args):
             float(chain(q, k, v))
             dt = time.perf_counter() - t0
             print(f"RESULT {name}: {dt / args.iters * 1e3:.3f} ms/block  "
+                  f"maxerr={err:.4f}", flush=True)
+        except Exception as e:
+            print(f"RESULT {name}: FAILED {type(e).__name__} "
+                  f"{str(e)[:200]}", flush=True)
+
+
+# ---------------------------------------------------------------- layer race
+# Whole encoder layer in ONE kernel vs the shipped two-kernel split
+# (fused attention block + fused FFN block) vs the all-XLA chain.
+
+from uc2_tpu.ops.fused_block import fused_ffn_block, fused_layer_block
+
+
+def layer_race(args):
+    B, L = args.batch, args.txt_len + args.num_bb
+    n, d = 12, 64
+    H, F = n * d, 3072
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, L, n, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, L, n, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, L, n, d)), jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((B, L, H)), jnp.bfloat16)
+    wo = jnp.asarray(rng.standard_normal((H, H)) * 0.02, jnp.bfloat16)
+    bo = jnp.asarray(rng.standard_normal((H,)) * 0.01, jnp.float32)
+    g1 = jnp.ones((H,), jnp.float32)
+    be1 = jnp.zeros((H,), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((H, F)) * 0.02, jnp.bfloat16)
+    b1 = jnp.asarray(rng.standard_normal((F,)) * 0.01, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((F, H)) * 0.02, jnp.bfloat16)
+    b2 = jnp.asarray(rng.standard_normal((H,)) * 0.01, jnp.float32)
+    g2 = jnp.ones((H,), jnp.float32)
+    be2 = jnp.zeros((H,), jnp.float32)
+    mask = np.ones((B, L), np.float32)
+    mask[:, -13:] = 0
+    bias = jnp.asarray(((1.0 - mask) * -10000.0)[:, None, None, :],
+                       jnp.float32)
+
+    def split2(q, k, v):
+        x2 = fused_attn_block(q, k, v, bias, x, wo, bo, g1, be1)
+        return fused_ffn_block(x2, w1, b1, w2, b2, g2, be2)
+
+    def xla_chain(q, k, v):
+        x2 = xla_attn_block(q, k, v, bias, x, wo, bo, g1, be1)
+        return xla_ffn_block(x2, w1, b1, w2, b2, g2, be2)
+
+    def onekernel(q, k, v):
+        return fused_layer_block(q, k, v, bias, x, wo, bo, g1, be1,
+                                 w1, b1, w2, b2, g2, be2)
+
+    ref = None
+    for name, fn in (("xlalayer", xla_chain), ("split2", split2),
+                     ("onekernel", onekernel)):
+        @jax.jit
+        def chain(q, k, v, fn=fn):
+            def body(c, _):
+                o = fn(q + c * 1e-30, k, v)
+                return jnp.mean(o.astype(jnp.float32)), None
+            last, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                   length=args.iters)
+            return last
+        try:
+            out = np.asarray(fn(q, k, v), np.float32)
+            if ref is None:
+                ref = out
+            err = np.max(np.abs(out - ref))
+            float(chain(q, k, v))
+            t0 = time.perf_counter()
+            float(chain(q, k, v))
+            dt = time.perf_counter() - t0
+            print(f"RESULT {name}: {dt / args.iters * 1e3:.3f} ms/layer  "
                   f"maxerr={err:.4f}", flush=True)
         except Exception as e:
             print(f"RESULT {name}: FAILED {type(e).__name__} "

@@ -11,7 +11,7 @@ from uc2_tpu.config import UC2Config
 from uc2_tpu.models.encoder import UC2Model
 from uc2_tpu.ops.attention import _xla_attention
 from uc2_tpu.ops.fused_block import (fused_attn_block, fused_block_profitable,
-                                     fused_ffn_block)
+                                     fused_ffn_block, fused_layer_block)
 
 
 def _xla_chain(q, k, v, bias, x, wo, bo, gamma, beta, eps):
@@ -116,6 +116,35 @@ def test_fused_ffn_block_matches_xla_chain():
     # R=16 exercises row tiling + the ragged pad (B·L=60 % 16 != 0)
     got = fused_ffn_block(x, w1, b1, w2, b2, gamma, beta, eps=1e-12,
                           R=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_layer_block_matches_two_kernel_split():
+    """Whole-layer kernel ≡ fused_attn_block ∘ fused_ffn_block."""
+    B, L, n, d, F = 2, 32, 2, 16, 64
+    H = n * d
+    rng = np.random.default_rng(3)
+    f32 = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.05, jnp.float32)
+    q, k, v = f32(B, L, n, d), f32(B, L, n, d), f32(B, L, n, d)
+    x = f32(B, L, H)
+    wo, bo = f32(H, H), f32(H)
+    g1 = jnp.asarray(1.0 + rng.standard_normal(H) * 0.1, jnp.float32)
+    be1 = f32(H)
+    w1, b1, w2, b2 = f32(H, F), f32(F), f32(F, H), f32(H)
+    g2 = jnp.asarray(1.0 + rng.standard_normal(H) * 0.1, jnp.float32)
+    be2 = f32(H)
+    mask = (rng.random((B, L)) < 0.8).astype(np.float32)
+    mask[:, :2] = 1.0
+    bias = jnp.asarray(((1.0 - mask) * -10000.0)[:, None, None, :],
+                       jnp.float32)
+    x2 = fused_attn_block(q, k, v, bias, x, wo, bo, g1, be1, eps=1e-12,
+                          interpret=True)
+    want = fused_ffn_block(x2, w1, b1, w2, b2, g2, be2, eps=1e-12, R=16,
+                           interpret=True)
+    got = fused_layer_block(q, k, v, bias, x, wo, bo, g1, be1,
+                            w1, b1, w2, b2, g2, be2, eps=1e-12,
+                            interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
 

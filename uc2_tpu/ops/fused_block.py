@@ -193,6 +193,114 @@ def fused_ffn_block(x, w1, b1, w2, b2, gamma, beta, eps: float = 1e-12,
     return out[:rows].reshape(B, L, H)
 
 
+def _layer_kernel(q_ref, k_ref, v_ref, bias_ref, x_ref, wo_ref, bo_ref,
+                  g1_ref, be1_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                  g2_ref, be2_ref, o_ref, *, scale, n, L, d, eps):
+    """Whole encoder layer in one cell: attention → out-proj → +res → LN →
+    FFN → +res → LN. Saves the [BB, L, H] round-trip between the two
+    fused blocks on top of their individual wins."""
+    BB = q_ref.shape[0]
+    H = n * d
+    q = q_ref[...].reshape(BB * n, L, d)
+    k = k_ref[...].reshape(BB * n, L, d)
+    v = v_ref[...].reshape(BB * n, L, d)
+    bias = bias_ref[...].reshape(BB, 1, 1, L)
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    s = s.reshape(BB, n, L, L) * scale + bias.astype(jnp.float32)
+    s = s.reshape(BB * n, L, L)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+    ctx = jax.lax.dot_general(
+        p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    ctx = ctx.reshape(BB, n, L, d).astype(wo_ref.dtype)
+    y = jnp.zeros((BB, L, H), jnp.float32)
+    for h_ in range(n):
+        y = y + jax.lax.dot_general(
+            ctx[:, h_], wo_ref[h_ * d:(h_ + 1) * d, :],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    y = y + bo_ref[...].astype(jnp.float32) + x_ref[...].astype(jnp.float32)
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+    x2 = (y - mu) * jax.lax.rsqrt(var + eps)
+    x2 = x2 * g1_ref[...].astype(jnp.float32) \
+        + be1_ref[...].astype(jnp.float32)
+    x2l = x2.astype(o_ref.dtype).reshape(BB * L, H)
+    h = jax.lax.dot_general(
+        x2l, w1_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    h = h + b1_ref[...].astype(jnp.float32)
+    h = 0.5 * h * (1.0 + _erf_poly(h * (1.0 / math.sqrt(2.0))))
+    h = h.astype(o_ref.dtype)
+    y2 = jax.lax.dot_general(
+        h, w2_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y2 = y2 + b2_ref[...].astype(jnp.float32) + x2.reshape(BB * L, H)
+    mu2 = jnp.mean(y2, axis=-1, keepdims=True)
+    var2 = jnp.mean(jnp.square(y2 - mu2), axis=-1, keepdims=True)
+    z = (y2 - mu2) * jax.lax.rsqrt(var2 + eps)
+    z = z * g2_ref[...].astype(jnp.float32) \
+        + be2_ref[...].astype(jnp.float32)
+    o_ref[...] = z.reshape(BB, L, H).astype(o_ref.dtype)
+
+
+def fused_layer_block(q, k, v, bias, x, wo, bo, g1, be1, w1, b1, w2, b2,
+                      g2, be2, eps: float = 1e-12, BB: int = 0,
+                      interpret: bool = False):
+    """One whole encoder layer, fused (see _layer_kernel)."""
+    B, L, n, d = q.shape
+    H = n * d
+    F = w1.shape[1]
+    qt, kt, vt = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+    if BB <= 0:
+        BB = max(1, (4 * 1024 * 1024) // (n * L * L * 4))
+    BB = math.gcd(BB, B)
+    kernel = functools.partial(_layer_kernel, scale=1.0 / math.sqrt(d),
+                               n=n, L=L, d=d, eps=float(eps))
+    bspec = lambda shape, im: pl.BlockSpec(shape, im,
+                                           memory_space=pltpu.VMEM)
+    i4 = lambda b: (b, 0, 0, 0)
+    i3 = lambda b: (b, 0, 0)
+    iw = lambda b: (0, 0)
+    iv = lambda b: (0,)
+    cp = {} if interpret else dict(
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024))
+    return pl.pallas_call(
+        kernel,
+        grid=(B // BB,),
+        in_specs=[
+            bspec((BB, n, L, d), i4), bspec((BB, n, L, d), i4),
+            bspec((BB, n, L, d), i4), bspec((BB, 1, 1, L), i4),
+            bspec((BB, L, H), i3),
+            bspec((H, H), iw), bspec((H,), iv),
+            bspec((H,), iv), bspec((H,), iv),
+            bspec((H, F), iw), bspec((F,), iv),
+            bspec((F, H), iw), bspec((H,), iv),
+            bspec((H,), iv), bspec((H,), iv),
+        ],
+        out_specs=bspec((BB, L, H), i3),
+        out_shape=jax.ShapeDtypeStruct((B, L, H), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * n * L * L * d + 2 * B * L * H * H
+            + 4 * B * L * H * F,
+            bytes_accessed=(2 * B * L * H) * q.dtype.itemsize,
+            transcendentals=B * n * L * L + B * L * F),
+        **cp,
+    )(qt, kt, vt, bias, x, wo, bo, g1, be1, w1, b1, w2, b2, g2, be2)
+
+
+def fused_layer_profitable(L: int, n: int) -> bool:
+    """Whole-layer fusion gate — off until the on-chip race
+    (kernel_lab --mode layer) shows it beating the two-kernel split."""
+    return False
+
+
 def fused_ffn_profitable(L: int) -> bool:
     """Gate for the FFN-block fusion on the inference path. On-chip race
     (kernel_lab --mode ffn, v5e, B=64, R=512): fused wins at every eval
