@@ -296,8 +296,12 @@ def fused_layer_block(q, k, v, bias, x, wo, bo, g1, be1, w1, b1, w2, b2,
 
 
 def fused_layer_profitable(L: int, n: int) -> bool:
-    """Whole-layer fusion gate — off until the on-chip race
-    (kernel_lab --mode layer) shows it beating the two-kernel split."""
+    """Whole-layer fusion gate — raced on chip (kernel_lab --mode layer,
+    v5e, B=64, L=162): one-kernel 1.655 vs two-kernel split 1.583 vs XLA
+    2.138 ms/layer. The monolith LOSES to the split by ~4.5%: its FFN half
+    runs on BB·L=162-row cells where the dedicated FFN kernel runs
+    512-row tiles (bigger MXU ops), outweighing the saved [BB, L, H]
+    round-trip. Permanently off; the split ships."""
     return False
 
 
