@@ -218,6 +218,52 @@ def cmd_train_ab(args):
             f"trial{trial}: " + " ".join(row) + " steps/s")
 
 
+def cmd_apply(args):
+    """Chained-scan timing of the AdamW apply program alone (the split
+    step's second half; the grad half is measured by train_ab). The full
+    split-step rate is 1/(1/grad + 1/apply). The two halves cannot be
+    chained together — a single program containing grad+AdamW hangs this
+    image's remote compiler (BASELINE.md quirk log)."""
+    import jax
+    import jax.numpy as jnp
+    from uc2_tpu.config import UC2Config
+    from uc2_tpu.models.pretraining import UC2ForPretraining
+    from uc2_tpu.training import optim as O
+    cfg = UC2Config(dtype=args.dtype)
+    model = UC2ForPretraining(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    tx = O.build_optimizer(params, O.constant(4e-5), grad_norm=5.0)
+    opt_state = jax.jit(tx.init)(params)
+    import optax
+
+    @jax.jit
+    def chain(params, opt_state):
+        def body(carry, _):
+            p, s, c = carry
+            grads = jax.tree_util.tree_map(
+                lambda x: jnp.full_like(x, 1e-8) + c * 1e-30, p)
+            updates, s = tx.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            # keep EVERY leaf alive: per-leaf optimizer chains are
+            # independent, so summing only one leaf lets XLA dead-code the
+            # rest (observed: 500 applies/s, 5x over the HBM bound)
+            tot = sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(p))
+            return (p, s, tot * 1e-30), None
+        (p, s, c), _ = jax.lax.scan(
+            body, (params, opt_state, jnp.float32(0.0)), None,
+            length=args.iters)
+        return c
+    t0 = time.time()
+    float(chain(params, opt_state))
+    log(f"compile apply: {time.time() - t0:.1f}s")
+    for trial in range(args.trials):
+        t0 = time.perf_counter()
+        float(chain(params, opt_state))
+        dt = time.perf_counter() - t0
+        log(f"RESULT apply(adamw chained) trial{trial}: "
+            f"{args.iters / dt:.2f} applies/s")
+
+
 def cmd_eval(args):
     import jax
     from uc2_tpu.config import UC2Config
@@ -284,6 +330,8 @@ def main():
     pab.add_argument("--task", default="mlm")
     pab.add_argument("--masked", type=int, default=24)
     pab.set_defaults(iters=8)
+    pap = sub.add_parser("apply"); common(pap)
+    pap.set_defaults(iters=16)
     pe = sub.add_parser("eval"); common(pe)
     pe.add_argument("--n_txt", type=int, default=256)
     pe.add_argument("--n_img", type=int, default=128)
@@ -298,7 +346,8 @@ def main():
     float(jnp.sum(jnp.ones((8, 8))))
     log("device ready", round(time.time() - t0, 1))
     {"score": cmd_score, "ab": cmd_ab, "train": cmd_train,
-     "train_ab": cmd_train_ab, "eval": cmd_eval}[args.cmd](args)
+     "train_ab": cmd_train_ab, "apply": cmd_apply,
+     "eval": cmd_eval}[args.cmd](args)
     log(f"=== tpu_measure {args.cmd} done", time.strftime("%H:%M:%S"))
 
 
