@@ -157,6 +157,10 @@ def main(opts):
 
     with mesh:
         state = jax.jit(lambda p: create_train_state(p, tx))(sharded)
+        if opts.zero1:
+            # ZeRO-1 optimizer-state sharding over the data axis
+            state = state._replace(
+                opt_state=M.shard_opt_state(mesh, state.opt_state))
         restorer = TrainingRestorer(
             opts.output_dir, {"lr": opts.learning_rate, "seed": opts.seed},
             save_steps=opts.save_steps)
@@ -321,6 +325,9 @@ def build_parser():
                         "in-step (reference default 8, "
                         "config/uc2_mscoco_itm.json:17)")
     p.add_argument("--n_model", type=int, default=1)
+    p.add_argument("--zero1", action="store_true",
+                   help="shard optimizer state over the data axis "
+                        "(ZeRO-1); identical math, 1/N apply traffic")
     p.add_argument("--async_ckpt", action="store_true",
                    help="milestone checkpoints via orbax")
     # multi-host (reference: horovodrun -np N, README.md:32-42)

@@ -197,6 +197,13 @@ def main(opts):
 
     with mesh:
         state = jax.jit(lambda p: create_train_state(p, tx))(sharded_params)
+        if opts.zero1:
+            # ZeRO-1: Adam moments shard over the data axis — the apply is
+            # HBM-bound (measured 13.3 ms for replicated uc2-base state,
+            # BASELINE.md), so sharding divides its traffic/memory by the
+            # data-axis size; XLA inserts the collectives
+            state = state._replace(
+                opt_state=M.shard_opt_state(mesh, state.opt_state))
         # hps-equality guard on resume (reference utils/save.py:168-171);
         # num_train_steps is deliberately excluded so runs can be extended
         restorer = TrainingRestorer(
@@ -498,6 +505,9 @@ def build_parser():
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--n_model", type=int, default=1,
                    help="tensor-parallel width of the mesh")
+    p.add_argument("--zero1", action="store_true",
+                   help="shard optimizer state over the data axis "
+                        "(ZeRO-1); identical math, 1/N apply traffic")
     p.add_argument("--lm_ce_chunks", type=int, default=0,
                    help="stream the 250k-vocab MLM CE in N chunks "
                         "(identical math, O(1/N) logits memory)")

@@ -155,3 +155,34 @@ def shard_batch(mesh: Mesh, batch, stacked: bool = False,
 def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+
+
+def opt_shardings(mesh: Mesh, opt_state) -> Any:
+    """ZeRO-1-style sharding for optimizer state: every Adam-moment-sized
+    leaf shards over the 'data' axis on its first divisible dimension.
+
+    The reference replicates optimizer state on every GPU (plain Horovod
+    DP). On a mesh the Adam update is elementwise, so GSPMD runs it
+    shard-local when the moments are sharded — the apply program's HBM
+    traffic and memory drop by the data-axis size, and XLA inserts the
+    (reduce-)scatter/all-gather around it automatically. Scalars (step
+    counts) and non-divisible leaves replicate.
+    """
+    n_data = mesh.shape["data"]
+
+    def f(x):
+        shape = getattr(x, "shape", ())
+        for axis, dim in enumerate(shape):
+            if dim % n_data == 0 and dim >= n_data:
+                spec = [None] * len(shape)
+                spec[axis] = "data"
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(f, opt_state)
+
+
+def shard_opt_state(mesh: Mesh, opt_state):
+    """Re-place an optimizer-state tree with ZeRO-1 shardings."""
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), opt_state,
+        opt_shardings(mesh, opt_state))
