@@ -182,11 +182,12 @@ def cmd_train_ab(args):
     batch["txt_labels"] = jnp.asarray(
         rng.integers(4, 250002, (B, M)).astype(np.int32))
     arms = {}
-    for impl in ("xla", "pallas-train"):
+    for impl, ce in (("xla", 0), ("pallas-train", 0),
+                     ("pallas-train+ce8", 8)):
         cfg = UC2Config(dtype=args.dtype,
                         use_pallas_attention=(False if impl == "xla"
-                                              else impl))
-        model = UC2ForPretraining(cfg)
+                                              else "pallas-train"))
+        model = UC2ForPretraining(cfg, lm_ce_chunks=ce)
         params = model.init_params(jax.random.PRNGKey(0))
         loss_fn = make_loss_fn(model, args.task)
 
