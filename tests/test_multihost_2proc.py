@@ -45,6 +45,7 @@ argv = [
     "--train_batch_size", "256", "--num_train_steps", "2",
     "--warmup_steps", "1", "--valid_steps", "0", "--save_steps", "100",
     "--log_steps", "1", "--dtype", "float32", "--seed", "0",
+    "--zero1",      # ZeRO-1 moment sharding under multi-process too
 ]
 opts = pretrain.parse_with_config(pretrain.build_parser(), argv)
 state = pretrain.main(opts)
