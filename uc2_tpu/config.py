@@ -68,16 +68,21 @@ class UC2Config:
     # (ops/flash_attention.py v3; measured +24% on the raw op and +1.5%
     # end-to-end vs XLA on v5e at L=162 — in-process A/B, BASELINE.md),
     # False → XLA einsum path, "flash" → jax's stock TPU flash kernel
-    # (measured slower here: 128-block padding). Kernel paths apply on TPU
-    # with no attention dropout; training falls back to XLA automatically.
+    # (measured slower here: 128-block padding). True (default) routes TPU
+    # attention through our Pallas kernels everywhere: fused inference
+    # kernels (incl. the attention-block/FFN-block fusions) and
+    # flash_attention_train for dropout training (−31% grad-step time vs
+    # XLA, chained A/B — BASELINE.md r3).
     use_pallas_attention: bool = True
     # Remat (activation checkpointing) policy for encoder layers: "none",
     # "full", or "dots" (save matmul outputs only).
     remat: str = "none"
     # Serving quantization for the encoder-block matmuls: "none" or "int8"
-    # (weight-only per-output-channel + dynamic per-row activation scales;
-    # int8 MXU runs at 2x bf16 peak on v5e). Inference/serving mode — NOT
-    # numerically parity-preserving; keep "none" for training/parity.
+    # (per-output-channel weight + dynamic per-row activation scales).
+    # Measured on v5e r3: loses or ties bf16 at every retrieval-eval bucket
+    # (this workload is attention/memory-bound and int8 forgoes the fused
+    # blocks) — keep "none" there; the option remains for MXU-bound
+    # deployments and halves weight memory. NOT parity-preserving.
     quant: str = "none"
 
     @property
