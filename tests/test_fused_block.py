@@ -153,5 +153,5 @@ def test_profitability_gate():
     # the three production eval buckets at uc2-base (Lt=62): fused wins only
     # at the ragged worst-case joint length
     assert fused_block_profitable(162, 12)        # Nb=100 bucket
-    assert not fused_block_profitable(128, 12)    # Nb=66 → lane-aligned
+    assert fused_block_profitable(128, 12)        # Nb=66: wins in-graph
     assert not fused_block_profitable(98, 12)     # Nb=36 (XLA faster, small)

@@ -319,6 +319,15 @@ def fused_block_profitable(L: int, n: int) -> bool:
     n=12, d=64): the fused block wins at L=162 (0.990 vs 1.296 ms, −24%)
     and loses at L=128 (0.866 vs 0.798, +8.5%) — the XLA chain's matmuls
     ride lane-aligned 128-multiples, while the fused kernel's VMEM win
-    dominates at ragged L. Gate: L not a multiple of 128 and big enough
-    that the [L, L] round-trip matters."""
-    return L > 128 and L % 128 != 0
+    dominates at ragged L. The FULL-GRAPH A/B overrides the microbench at
+    L=128: with the FFN block also fused, forcing attention fusion
+    measures 4909-4916 vs 4852-4865 pairs/s end-to-end (UC2_FUSE_ATTN_ALL
+    runs, bench_results.txt) — the isolated-race loss flips once XLA no
+    longer schedules the surrounding chain. At L=98 the in-graph verdict
+    matches the microbench (5366-5390 forced vs 5528-5580 gated: XLA
+    wins). Gate: L ≥ 128. UC2_FUSE_ATTN_ALL=1 forces it on for in-graph
+    A/Bs."""
+    import os
+    if os.environ.get("UC2_FUSE_ATTN_ALL"):
+        return True
+    return L >= 128
