@@ -15,6 +15,8 @@ def test_object_collectives_single_process():
     assert mh.all_gather_object(obj) == [obj]
     assert mh.broadcast_object(obj) == obj
     assert mh.sum_across_hosts(2.5) == 2.5
+    # the prefetch-safe KV broadcast degenerates to identity too
+    assert mh.kv_broadcast_object("uc2/test/sp", obj) == obj
 
 
 def test_param_pspec_rules():
