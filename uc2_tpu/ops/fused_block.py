@@ -150,7 +150,7 @@ def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, b_ref,
 
 
 def fused_ffn_block(x, w1, b1, w2, b2, gamma, beta, eps: float = 1e-12,
-                    R: int = 512, interpret: bool = False):
+                    R: int = 0, interpret: bool = False):
     """Row-tiled fused FFN block: LN(gelu(x·W1+b1)·W2+b2 + x).
 
     x [B, L, H]; W1 [H, F], W2 [F, H] in compute dtype; b1/b2/gamma/beta
@@ -162,6 +162,15 @@ def fused_ffn_block(x, w1, b1, w2, b2, gamma, beta, eps: float = 1e-12,
     B, L, H = x.shape
     F = w1.shape[1]
     rows = B * L
+    import os
+    if R <= 0:
+        # empirical tile choice (v5e races, micro + in-graph,
+        # bench_results.txt): R=256 wins when the row count divides 512
+        # evenly (L=128 bucket: 4944-4954 vs 4909-4916 pairs/s in-graph),
+        # R=512 everywhere else (L=162/98 buckets)
+        R = 256 if rows % 512 == 0 else 512
+    if os.environ.get("UC2_FFN_R"):
+        R = int(os.environ["UC2_FFN_R"])     # in-graph tile A/Bs
     xr = x.reshape(rows, H)
     pad = (-rows) % R
     if pad:
