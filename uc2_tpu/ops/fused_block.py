@@ -82,6 +82,9 @@ def fused_attn_block(q, k, v, bias, x, wo, bo, gamma, beta,
     B, L, n, d = q.shape
     H = n * d
     qt, kt, vt = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+    import os
+    if os.environ.get("UC2_ATTN_BB"):
+        BB = int(os.environ["UC2_ATTN_BB"])   # in-graph tile A/Bs
     if BB <= 0:
         BB = max(1, (4 * 1024 * 1024) // (n * L * L * 4))
     BB = math.gcd(BB, B)
@@ -164,11 +167,12 @@ def fused_ffn_block(x, w1, b1, w2, b2, gamma, beta, eps: float = 1e-12,
     rows = B * L
     import os
     if R <= 0:
-        # empirical tile choice (v5e races, micro + in-graph,
-        # bench_results.txt): R=256 wins when the row count divides 512
-        # evenly (L=128 bucket: 4944-4954 vs 4909-4916 pairs/s in-graph),
-        # R=512 everywhere else (L=162/98 buckets)
-        R = 256 if rows % 512 == 0 else 512
+        # tile rule from in-graph races (v5e, bench_results.txt): the
+        # smallest zero-padding divisor in [256, 512] wins at every eval
+        # bucket — rows=6272→448 (5744-5770 vs 5526 pairs/s end-to-end),
+        # 8192→256 (4944-4954 vs 4909), 10368→384 (3328-3341 vs 3244);
+        # a ragged tail costs more than smaller tiles do
+        R = next((r for r in range(256, 513, 8) if rows % r == 0), 512)
     if os.environ.get("UC2_FFN_R"):
         R = int(os.environ["UC2_FFN_R"])     # in-graph tile A/Bs
     xr = x.reshape(rows, H)
