@@ -9,10 +9,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# default_backend() reports 'tpu' through this image's axon tunnel (that is
+# what routes the production kernels), while devices()[0].platform reports
+# 'axon' — gate on the backend so the test RUNS on the tunneled chip
 pytestmark = pytest.mark.skipif(
-    jax.devices()[0].platform != "tpu",
-    reason="needs a real TPU (pltpu PRNG)")  # note: default_backend() is
-# 'axon' through this image's tunnel even though the device is a TPU
+    jax.default_backend() != "tpu",
+    reason="needs a real TPU (pltpu PRNG)")
 
 
 def test_tpu_dropout_stats_and_grads():
