@@ -143,11 +143,14 @@ def main():
     ap.add_argument("--num_bb", type=int, default=100)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--variants", nargs="*", default=list(VARIANTS))
-    ap.add_argument("--mode", choices=["op", "block", "ffn", "layer"],
+    ap.add_argument("--mode",
+                    choices=["op", "block", "block2", "ffn", "layer"],
                     default="op")
     args = ap.parse_args()
     if args.mode == "block":
         return block_race(args)
+    if args.mode == "block2":
+        return block2_race(args)
     if args.mode == "ffn":
         return ffn_race(args)
     if args.mode == "layer":
@@ -327,6 +330,66 @@ def block_race(args):
 # (fused attention block + fused FFN block) vs the all-XLA chain.
 
 from uc2_tpu.ops.fused_block import fused_ffn_block, fused_layer_block
+
+
+def block2_race(args):
+    """v2 attention block (QKV projection in-kernel) vs the shipped
+    XLA-projection + v1-block chain. Both include the projection cost."""
+    from uc2_tpu.ops.fused_block import fused_attn_block_v2
+    B, L = args.batch, args.txt_len + args.num_bb
+    n, d = 12, 64
+    H = n * d
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, L, H)), jnp.bfloat16)
+    w_qkv = jnp.asarray(rng.standard_normal((H, 3 * H)) * 0.02,
+                        jnp.bfloat16)
+    b_qkv = jnp.asarray(rng.standard_normal((3 * H,)) * 0.01, jnp.float32)
+    wo = jnp.asarray(rng.standard_normal((H, H)) * 0.02, jnp.bfloat16)
+    bo = jnp.asarray(rng.standard_normal((H,)) * 0.01, jnp.float32)
+    gamma = jnp.ones((H,), jnp.float32)
+    beta = jnp.zeros((H,), jnp.float32)
+    mask = np.ones((B, L), np.float32)
+    mask[:, -13:] = 0
+    bias = jnp.asarray(((1.0 - mask) * -10000.0)[:, None, None, :],
+                       jnp.float32)
+
+    def v1_chain(x):
+        qkv = (x.reshape(B * L, H) @ w_qkv).astype(jnp.float32) + b_qkv
+        q, k, v = jnp.split(qkv.astype(x.dtype).reshape(B, L, 3 * H), 3,
+                            axis=-1)
+        return fused_attn_block(q.reshape(B, L, n, d),
+                                k.reshape(B, L, n, d),
+                                v.reshape(B, L, n, d), bias, x, wo, bo,
+                                gamma, beta)
+
+    def v2(x):
+        return fused_attn_block_v2(x, w_qkv, b_qkv, bias, wo, bo,
+                                   gamma, beta, n=n)
+
+    ref = None
+    for name, fn in (("v1chain", v1_chain), ("v2inkernel", v2)):
+        @jax.jit
+        def chain(x, fn=fn):
+            def body(c, _):
+                o = fn(x + c * 1e-30)
+                return jnp.mean(o.astype(jnp.float32)), None
+            last, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                   length=args.iters)
+            return last
+        try:
+            out = np.asarray(fn(x), np.float32)
+            if ref is None:
+                ref = out
+            err = np.max(np.abs(out - ref))
+            float(chain(x))
+            t0 = time.perf_counter()
+            float(chain(x))
+            dt = time.perf_counter() - t0
+            print(f"RESULT {name}: {dt / args.iters * 1e3:.3f} ms/block  "
+                  f"maxerr={err:.4f}", flush=True)
+        except Exception as e:
+            print(f"RESULT {name}: FAILED {type(e).__name__} "
+                  f"{str(e)[:200]}", flush=True)
 
 
 def layer_race(args):

@@ -149,6 +149,40 @@ def test_fused_layer_block_matches_two_kernel_split():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_fused_attn_block_v2_matches_v1_plus_projection():
+    """v2 (QKV projection in-kernel) ≡ XLA projection + v1 block, incl.
+    the encoder's fused-[q|k|v] weight layout and head split."""
+    from uc2_tpu.ops.fused_block import fused_attn_block_v2
+    B, L, n, d = 3, 40, 4, 8
+    H = n * d
+    rng = np.random.default_rng(5)
+    f32 = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.05, jnp.float32)
+    x = f32(B, L, H)
+    w_qkv, b_qkv = f32(H, 3 * H), f32(3 * H)
+    wo, bo = f32(H, H), f32(H)
+    gamma = jnp.asarray(1.0 + rng.standard_normal(H) * 0.1, jnp.float32)
+    beta = f32(H)
+    mask = (rng.random((B, L)) < 0.8).astype(np.float32)
+    mask[:, :2] = 1.0
+    bias = jnp.asarray(((1.0 - mask) * -10000.0)[:, None, None, :],
+                       jnp.float32)
+
+    qkv = x.reshape(B * L, H) @ w_qkv + b_qkv
+    q, k, v = jnp.split(qkv.reshape(B, L, 3 * H), 3, axis=-1)
+    want = fused_attn_block(q.reshape(B, L, n, d), k.reshape(B, L, n, d),
+                            v.reshape(B, L, n, d), bias, x, wo, bo,
+                            gamma, beta, eps=1e-12, interpret=True)
+    got = fused_attn_block_v2(x, w_qkv, b_qkv, bias, wo, bo, gamma, beta,
+                              n=n, eps=1e-12, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    # BB>1 grid split agrees
+    got2 = fused_attn_block_v2(x, w_qkv, b_qkv, bias, wo, bo, gamma, beta,
+                               n=n, eps=1e-12, BB=3, interpret=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_profitability_gate():
     # the three production eval buckets at uc2-base (Lt=62): fused wins only
     # at the ragged worst-case joint length

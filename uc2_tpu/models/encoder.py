@@ -190,17 +190,23 @@ class SelfAttention(nn.Module):
     ``return_qkv``: skip the attention math and hand the projected
     [B, L, n, d] heads to the caller — the EncoderLayer's fused-block path
     consumes them directly (ops/fused_block.py) while the qkv params stay
-    at their usual tree location (attention/qkv)."""
+    at their usual tree location (attention/qkv). ``return_qkv_params``:
+    hand the RAW fused projection params instead (the v2 fused block
+    computes the projection in-kernel)."""
     config: UC2Config
     return_qkv: bool = False
+    return_qkv_params: bool = False
 
     @nn.compact
     def __call__(self, x, attn_bias, deterministic=True):
         cfg = self.config
         B, L, H = x.shape
         n, d = cfg.num_attention_heads, cfg.head_dim
-        qkv = Dense(3 * H, dtype=jnp.dtype(cfg.dtype), quant=cfg.quant,
-                    name="qkv")(x)
+        qkv_mod = DenseP(H, 3 * H, dtype=jnp.dtype(cfg.dtype),
+                         quant=cfg.quant, name="qkv")
+        if self.return_qkv_params:
+            return qkv_mod.raw()
+        qkv = qkv_mod(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         if self.return_qkv:
             return (q.reshape(B, L, n, d), k.reshape(B, L, n, d),
@@ -297,21 +303,37 @@ class EncoderLayer(nn.Module):
         # where it wins on chip; "fused-force" exercises it in interpreter
         # mode regardless of platform/shape (CPU tests)
         from uc2_tpu.ops.fused_block import (fused_attn_block,
+                                             fused_attn_block_v2,
                                              fused_block_profitable,
                                              fused_ffn_block,
                                              fused_ffn_profitable)
+        import os
         force = impl == "fused-force"
         fusable = (deterministic and cfg.quant == "none"
                    and (force or (impl not in ("xla",) and _on_tpu())))
         fuse = fusable and (force or fused_block_profitable(
             x.shape[1], cfg.num_attention_heads))
+        # v2 computes the QKV projection in-kernel (the [B, L, 3H]
+        # intermediate never exists in HBM); experiment-gated pending the
+        # in-graph A/B (UC2_ATTN_V2=1)
+        v2 = fuse and bool(os.environ.get("UC2_ATTN_V2"))
         fuse_ffn = fusable and (force or fused_ffn_profitable(x.shape[1]))
-        attn = SelfAttention(cfg, return_qkv=fuse, name="attention")
+        attn = SelfAttention(cfg, return_qkv=fuse and not v2,
+                             return_qkv_params=v2, name="attention")
         od = DenseP(H, H, dtype=dtype, quant=cfg.quant,
                     name="attention_output_dense")
         oln = LayerNormP(H, eps=eps, dtype=dtype,
                          name="attention_output_LayerNorm")
-        if fuse:
+        if v2:
+            w_qkv, b_qkv = attn(x, attn_bias, deterministic)
+            wo, bo = od.raw()
+            gamma, beta = oln.raw()
+            x = fused_attn_block_v2(x, w_qkv.astype(dtype), b_qkv,
+                                    attn_bias, wo.astype(dtype), bo,
+                                    gamma, beta,
+                                    n=cfg.num_attention_heads, eps=eps,
+                                    interpret=not _on_tpu())
+        elif fuse:
             q, k, v = attn(x, attn_bias, deterministic)
             wo, bo = od.raw()
             gamma, beta = oln.raw()

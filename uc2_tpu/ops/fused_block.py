@@ -131,6 +131,119 @@ def _erf_poly(x):
     return s * y
 
 
+def _block2_kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+                   bias_ref, wo_ref, bo_ref, g_ref, b_ref, o_ref,
+                   *, scale, n, L, d, eps):
+    """v2: the QKV projection moves INSIDE the kernel — input is the block
+    input x, not precomputed heads, so the [B, L, 3H] QKV intermediate
+    never exists in HBM (the v1 chain writes+reads it, ~96 MB/layer at
+    B=64/L=162 bf16). Per-head weights arrive pre-split on a MAJOR dim
+    ([n, H, d] / [n, d, H]) so the kernel never slices the lane dim.
+
+    RETIRED (kept for the record + UC2_ATTN_V2 experiments): wins the
+    ISOLATED race at L=162 (1.702 vs 2.156 ms incl. projection, −21%) but
+    LOSES in-graph (3026-3059 vs 3347-3356 pairs/s end-to-end at Nb=100)
+    — in the full graph XLA pipelines the projection matmul against
+    neighboring kernels, erasing the roundtrip cost the isolated chain
+    pays, while v2's per-head [L,768]×[768,64] projections run at N=64
+    MXU utilization and serialize inside each grid cell. Third instance
+    this round of the isolated-vs-in-graph verdict flipping — always A/B
+    end-to-end before shipping a kernel."""
+    BB = x_ref.shape[0]
+    H = n * d
+    x = x_ref[...].reshape(BB * L, H)
+    bias = bias_ref[...].reshape(BB, 1, 1, L).astype(jnp.float32)
+    y = jnp.zeros((BB, L, H), jnp.float32)
+    for h in range(n):
+        q = (jax.lax.dot_general(
+            x, wq_ref[h], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            + bq_ref[h].astype(jnp.float32)).astype(x.dtype)
+        k = (jax.lax.dot_general(
+            x, wk_ref[h], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            + bk_ref[h].astype(jnp.float32)).astype(x.dtype)
+        v = (jax.lax.dot_general(
+            x, wv_ref[h], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            + bv_ref[h].astype(jnp.float32)).astype(x.dtype)
+        q = q.reshape(BB, L, d)
+        k = k.reshape(BB, L, d)
+        v = v.reshape(BB, L, d)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # [BB, L, L]
+        s = s * scale + bias[:, 0]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+        ctx = jax.lax.dot_general(
+            p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # [BB, L, d]
+        y = y + jax.lax.dot_general(
+            ctx.astype(wo_ref.dtype), wo_ref[h],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [BB, L, H]
+    y = y + bo_ref[...].astype(jnp.float32) \
+        + x_ref[...].astype(jnp.float32)
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+    yn = (y - mu) * jax.lax.rsqrt(var + eps)
+    yn = yn * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    o_ref[...] = yn.astype(o_ref.dtype)
+
+
+def fused_attn_block_v2(x, w_qkv, b_qkv, bias, wo, bo, gamma, beta,
+                        n: int, eps: float = 1e-12, BB: int = 0,
+                        interpret: bool = False):
+    """v2 attention block: LN(x + attn(xWq, xWk, xWv)·Wo + bo), QKV
+    projection in-kernel. ``w_qkv`` [H, 3H] / ``b_qkv`` [3H] are the fused
+    Dense params (encoder layout: concat [q|k|v] on the output dim)."""
+    B, L, H = x.shape
+    d = H // n
+    # pre-split per head on MAJOR dims (loop-invariant → XLA hoists out of
+    # eval scans): [H, 3H] → [3, n, H, d]
+    w = w_qkv.reshape(H, 3, n, d).transpose(1, 2, 0, 3)
+    bqkv = b_qkv.reshape(3, n, d)
+    wo_h = wo.reshape(n, d, H)
+    if BB <= 0:
+        BB = max(1, (4 * 1024 * 1024) // (n * L * L * 4))
+    BB = math.gcd(BB, B)
+    kernel = functools.partial(_block2_kernel, scale=1.0 / math.sqrt(d),
+                               n=n, L=L, d=d, eps=float(eps))
+    bspec = lambda shape, im: pl.BlockSpec(shape, im,
+                                           memory_space=pltpu.VMEM)
+    i3 = lambda b: (b, 0, 0)
+    iw = lambda b: (0, 0, 0)
+    ib = lambda b: (0, 0)
+    iv = lambda b: (0,)
+    cp = {} if interpret else dict(
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024))
+    return pl.pallas_call(
+        kernel,
+        grid=(B // BB,),
+        in_specs=[
+            bspec((BB, L, H), i3),
+            bspec((n, H, d), iw), bspec((n, H, d), iw),
+            bspec((n, H, d), iw),
+            bspec((n, d), ib), bspec((n, d), ib), bspec((n, d), ib),
+            bspec((BB, 1, 1, L), lambda b: (b, 0, 0, 0)),
+            bspec((n, d, H), iw), bspec((H,), iv),
+            bspec((H,), iv), bspec((H,), iv),
+        ],
+        out_specs=bspec((BB, L, H), i3),
+        out_shape=jax.ShapeDtypeStruct((B, L, H), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * L * H * (4 * H) + 4 * B * n * L * L * d,
+            bytes_accessed=(2 * B * L * H) * x.dtype.itemsize,
+            transcendentals=B * n * L * L),
+        **cp,
+    )(x, w[0], w[1], w[2], bqkv[0], bqkv[1], bqkv[2], bias, wo_h, bo,
+      gamma, beta)
+
+
 def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, b_ref,
                 o_ref, *, eps):
     x = x_ref[...]
