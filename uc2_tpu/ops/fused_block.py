@@ -8,8 +8,11 @@ through HBM between fusions. At retrieval-scoring shapes attention is
 ~45-55% of wall time at ~6% of the FLOPs — memory/layout-bound — so the win
 is keeping everything per grid cell in VMEM. Raced on a v5e (B=64, n=12,
 d=64, bench_results.txt): 0.990 ms vs 1.296 ms XLA at L=162 (the worst-case
-Nb=100 eval bucket, −24%); XLA stays ahead at L≤128, so dispatch is gated on
-L (see ``fused_block_profitable``).
+Nb=100 eval bucket, −24%); dispatch is gated at L ≥ 128 after the in-graph
+A/B (see ``fused_block_profitable``). The module also ships the always-on
+row-tiled fused FFN block (``fused_ffn_block``) and keeps two
+raced-and-retired candidates for the record (whole-layer monolith,
+QKV-in-kernel v2) — every gate's docstring carries its measured verdict.
 
 Mosaic notes:
   * the heads→hidden merge ([.., L, n, d] → [.., L, n·d]) is an unsupported
