@@ -33,6 +33,33 @@ def log(*a):
         print(*a, file=LOG, flush=True)
 
 
+CHIP_CALIB_TFLOPS = 125.0   # sustained bf16 8192^3 matmul on this chip
+
+
+def grad_flops_per_example(Lt, Nb, M, n_layers=12, H=768, F=3072,
+                           V=250002, img_dim=2048):
+    """Matmul FLOPs for ONE example's full mlm grad step (fwd + bwd-acts +
+    bwd-weights ~= 3x fwd). Used to print implied TF/s next to every train
+    RESULT so roofline-violating rates self-flag: round 3's 26.5
+    grad-steps/s implied ~192 TF/s (> the chip's own 125 TF/s sustained
+    calibration) because the harness kept only one gradient leaf live and
+    XLA dead-coded most of the backward (VERDICT r3 weak #1)."""
+    L = Lt + Nb
+    per_layer = 2 * L * H * (4 * H) + 2 * L * (2 * H * F) + 4 * L * L * H
+    enc = n_layers * per_layer
+    img_emb = 2 * Nb * img_dim * H
+    head = 2 * M * H * H + 2 * M * H * V
+    return 3 * (enc + img_emb + head)
+
+
+def _implied_tfs(rate_steps_s, B, Lt, Nb, M):
+    tf = rate_steps_s * B * grad_flops_per_example(Lt, Nb, M) / 1e12
+    return (f"[implied {tf:.0f} TF/s = {100 * tf / CHIP_CALIB_TFLOPS:.0f}% "
+            f"of {CHIP_CALIB_TFLOPS:.0f} TF/s calib"
+            + (" ROOFLINE-VIOLATION" if tf > CHIP_CALIB_TFLOPS else "")
+            + "]")
+
+
 def _scoring_batch(rng, B, Lt, Nb, vocab=250002, img_dim=2048):
     import jax.numpy as jnp
     ids = rng.integers(4, vocab, (B, Lt)).astype(np.int32)
@@ -159,7 +186,8 @@ def cmd_train(args):
     float(m["loss"])
     dt = time.perf_counter() - t0
     log(f"RESULT train {args.task} B={B} M={M} accum={args.accum}: "
-        f"{n / dt:.2f} steps/s, {B * args.accum * n / dt:.0f} ex/s")
+        f"{n / dt:.2f} steps/s, {B * args.accum * n / dt:.0f} ex/s "
+        + _implied_tfs(n / dt, B * args.accum, Lt, Nb, M or 24))
 
 
 def cmd_train_ab(args):
@@ -167,7 +195,16 @@ def cmd_train_ab(args):
     with chained-scan timing — the only reliable methodology through this
     tunnel (per-dispatch timing doesn't sync: the round-3 artifact was
     xla=4.98 vs a chained 7.78, pure queue-bleed). The AdamW apply program
-    is identical in both arms and excluded."""
+    is identical in both arms and excluded.
+
+    DCE-proofing (round-4 fix, VERDICT r3 weak #1): EVERY gradient leaf is
+    kept live by folding a sum over all leaves into the scan carry. The
+    round-3 version kept only tree_leaves(grads)[0] (+ loss); the first
+    leaf in tree order is a cls-head leaf whose gradient needs no encoder
+    weight-gradient matmuls, so XLA could legally drop most of the
+    backward-weight pass — the measured 26.5 grad-steps/s implied ~192
+    TF/s, above the chip's own 125 TF/s calibration. Implied TF/s is now
+    printed next to each rate so this class of bug self-flags."""
     import jax
     import jax.numpy as jnp
     from uc2_tpu.config import UC2Config
@@ -198,8 +235,12 @@ def cmd_train_ab(args):
                 b["img_feat"] = batch["img_feat"] + c * 1e-30
                 (loss, _), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params, b, key)
-                leaf = jax.tree_util.tree_leaves(grads)[0]
-                return loss + jnp.sum(leaf) * 1e-30 + c * 0.0, None
+                # keep EVERY leaf live (per-leaf grad chains are
+                # independent; summing one leaf lets XLA dead-code the
+                # encoder backward-weight pass — r3 post-mortem above)
+                tot = sum(jnp.sum(l.astype(jnp.float32))
+                          for l in jax.tree_util.tree_leaves(grads))
+                return loss + tot * 1e-30 + c * 0.0, None
             last, _ = jax.lax.scan(body, jnp.float32(0.0), None,
                                    length=args.iters)
             return last
@@ -214,9 +255,11 @@ def cmd_train_ab(args):
             t0 = time.perf_counter()
             float(chain(p, batch, jax.random.PRNGKey(trial)))
             dt = time.perf_counter() - t0
-            row.append(f"{impl}={args.iters / dt:.2f}")
-        log(f"RESULT train_ab(grad-only) {args.task} B={B} M={M} "
-            f"trial{trial}: " + " ".join(row) + " steps/s")
+            rate = args.iters / dt
+            row.append(f"{impl}={rate:.2f} "
+                       + _implied_tfs(rate, B, Lt, Nb, M))
+        log(f"RESULT train_ab(grad-only,all-leaves-live) {args.task} "
+            f"B={B} M={M} trial{trial}: " + " ".join(row) + " steps/s")
 
 
 def cmd_apply(args):
@@ -257,12 +300,19 @@ def cmd_apply(args):
     t0 = time.time()
     float(chain(params, opt_state))
     log(f"compile apply: {time.time() - t0:.1f}s")
+    n_params = sum(int(np.prod(l.shape))
+                   for l in jax.tree_util.tree_leaves(params))
+    # fp32 state traffic per apply: read p/m/v (+in-scan grad), write p/m/v
+    traffic_gb = 7 * 4 * n_params / 1e9
     for trial in range(args.trials):
         t0 = time.perf_counter()
         float(chain(params, opt_state))
         dt = time.perf_counter() - t0
+        rate = args.iters / dt
         log(f"RESULT apply(adamw chained) trial{trial}: "
-            f"{args.iters / dt:.2f} applies/s")
+            f"{rate:.2f} applies/s "
+            f"[{rate * traffic_gb:.0f} GB/s of ~{traffic_gb:.1f} GB state "
+            f"traffic/apply; v5e HBM ~820 GB/s]")
 
 
 def cmd_eval(args):
