@@ -275,6 +275,30 @@ def main(opts):
         LOGGER.info("start training at step %d over %d tasks",
                     global_step, len(loaders))
 
+        # Async-dispatch pipelining: the loop below never blocks on the
+        # device inside a window. global_step is a HOST counter (int(state.
+        # step) per step would force a device→host sync every window) and
+        # per-step losses stay device scalars in `pending`, converted K
+        # steps late — so the host keeps ~runahead windows enqueued while
+        # the device executes, hiding dispatch latency + input assembly.
+        # The late conversion also BOUNDS in-flight batches (each float()
+        # blocks until that step's program finished), capping HBM held by
+        # queued batches at ~runahead × batch bytes. Reference equivalent:
+        # the CUDA stream runahead its PrefetchLoader relies on
+        # (data/loader.py:85-140) — here made explicit because a jitted
+        # scalar pull is the only sync primitive.
+        from collections import deque
+        pending = deque()        # (task_name, device loss scalar)
+
+        def drain(k=0):
+            while len(pending) > k:
+                nm, lv = pending.popleft()
+                task2loss[nm](float(lv))
+
+        sus_step = sus_t = sus_ex = None
+        sustained = {}
+        start_step = global_step
+
         grad_fns = {}
 
         def get_grad_apply(task):
@@ -336,10 +360,12 @@ def main(opts):
                                            state.params)
                 state = TrainState(state.step + 1, params_new, opt_state)
                 metrics = {k: v / accum for k, v in metrics_sum.items()}
-            global_step = int(state.step)
-            task2loss[name](float(metrics["loss"]))
+            global_step += 1
+            pending.append((name, metrics["loss"]))
+            drain(opts.runahead)
 
             if global_step % opts.log_steps == 0:
+                drain()          # full sync: timing below is honest
                 TB_LOGGER.add_scalar("lr", float(lr_fn(global_step)),
                                      global_step)
                 for t, m in task2loss.items():
@@ -347,12 +373,32 @@ def main(opts):
                         TB_LOGGER.add_scalar(f"loss/{t}", m.val, global_step)
                 elapsed = time.time() - start
                 tot = sum(n_examples.values())
+                now = time.time()
                 LOGGER.info("step %d | %.0f ex/s | %s", global_step,
                             tot / max(elapsed, 1e-9),
                             {t: round(m.val, 4) for t, m in task2loss.items()
                              if m.val is not None})
                 TB_LOGGER.add_scalar("perf/ex_per_s",
                                      tot / max(elapsed, 1e-9), global_step)
+                # sustained rate: between full-sync log boundaries after
+                # the warmup window (excludes per-program compiles) — the
+                # reference's every-100-step throughput log
+                # (pretrain.py:617-641) without its cold start
+                if sus_step is None:
+                    if global_step >= start_step + opts.perf_warmup_steps:
+                        sus_step, sus_t, sus_ex = global_step, now, tot
+                elif global_step > sus_step:
+                    sustained = {
+                        "ex_per_s": (tot - sus_ex) / (now - sus_t),
+                        "steps_per_s": (global_step - sus_step)
+                        / (now - sus_t),
+                        "window": (sus_step, global_step)}
+                    LOGGER.info(
+                        "sustained %.1f ex/s | %.2f steps/s (steps %d-%d)",
+                        sustained["ex_per_s"], sustained["steps_per_s"],
+                        sus_step, global_step)
+                    TB_LOGGER.add_scalar("perf/sustained_ex_per_s",
+                                         sustained["ex_per_s"], global_step)
 
             if opts.valid_steps and global_step % opts.valid_steps == 0:
                 validate(model, state, val, buckets, valid_ids, opts, mesh)
@@ -361,12 +407,17 @@ def main(opts):
             if is_main:
                 restorer.step(global_step, state)
 
+        drain()
         if opts.valid_steps and global_step % opts.valid_steps != 0:
             validate(model, state, val, buckets, valid_ids, opts, mesh)
             if is_main or opts.async_ckpt:
                 save_milestone(state, global_step)
         if opts.async_ckpt:
             ockpt.wait()          # finalize in-flight async saves
+        if sustained:
+            LOGGER.info("FINAL sustained %.1f ex/s | %.2f steps/s "
+                        "(steps %d-%d)", sustained["ex_per_s"],
+                        sustained["steps_per_s"], *sustained["window"])
         LOGGER.info("training done at step %d", global_step)
         return state
 
@@ -500,6 +551,13 @@ def build_parser():
                         "prefetch is on by default, single- and multi-host)")
     p.add_argument("--save_steps", type=int, default=200)
     p.add_argument("--log_steps", type=int, default=100)
+    p.add_argument("--runahead", type=int, default=8,
+                   help="max windows the host may enqueue ahead of the "
+                        "device (bounds in-flight batch HBM; per-step "
+                        "losses convert to host this many steps late)")
+    p.add_argument("--perf_warmup_steps", type=int, default=10,
+                   help="steps excluded from the sustained-throughput "
+                        "window (program compiles land here)")
     p.add_argument("--seed", type=int, default=42)
     # TPU
     p.add_argument("--dtype", type=str, default="bfloat16")

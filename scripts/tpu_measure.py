@@ -315,6 +315,58 @@ def cmd_apply(args):
             f"traffic/apply; v5e HBM ~820 GB/s]")
 
 
+def cmd_pretrain_loop(args):
+    """Sustained END-TO-END pretrain rate (VERDICT r3 #2): runs the real
+    ``pretrain.py`` driver — input pipeline, bucket routing, grad +
+    donated AdamW apply, deferred metrics — over a synthetic corpus at
+    uc2-base shapes (token-budget buckets, texts to max_txt_len, nbb in
+    [10,100]) and reports the driver's own sustained-window rate (full
+    host syncs at both window edges, compiles excluded). This is the
+    number the reference logs as its headline (pretrain.py:617-641), as
+    opposed to the derived split-step rate from train_ab + apply.
+    ``--no_prefetch`` measures the round-2 #6 prefetch on/off delta."""
+    import subprocess
+    from uc2_tpu.data.synth import synth_corpus
+    corpus_dir = "/tmp/tpu_measure_pretrain_corpus"
+    corpus = synth_corpus(corpus_dir, n_imgs=256, txt_per_img=4,
+                          min_bb=10, max_bb=100, max_words=60, seed=0)
+    spec = [{"name": "en", "db": corpus["txt_db"], "img": corpus["img_db"],
+             "tasks": [args.task], "mix_ratio": [1]}]
+    out_dir = f"/tmp/tpu_measure_pretrain_out_{int(time.time())}"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [sys.executable, os.path.join(repo, "pretrain.py"),
+           "--train_datasets", __import__("json").dumps(spec),
+           "--model_config", os.path.join(repo, "config", "uc2-base.json"),
+           "--output_dir", out_dir,
+           "--num_train_steps", str(args.steps),
+           "--gradient_accumulation_steps", str(args.accum),
+           "--valid_steps", "0", "--save_steps", "1000000",
+           "--log_steps", str(args.log_steps),
+           "--perf_warmup_steps", str(args.warmup),
+           "--split_step",          # fused grad+adamw hangs this image's
+                                    # remote compiler (BASELINE.md quirk)
+           "--dtype", args.dtype]
+    if args.no_prefetch:
+        cmd.append("--no_prefetch")
+    log("pretrain_loop cmd:", " ".join(cmd[1:3]), "... steps",
+        args.steps, "prefetch", not args.no_prefetch)
+    t0 = time.time()
+    r = subprocess.run(cmd, cwd=repo, capture_output=True, text=True)
+    txt = r.stdout + r.stderr
+    final = [ln for ln in txt.splitlines() if "FINAL sustained" in ln]
+    sus = [ln for ln in txt.splitlines() if "sustained" in ln]
+    for ln in sus[-6:]:
+        log(" ", ln.strip())
+    if r.returncode != 0 or not final:
+        log("pretrain_loop FAILED rc=", r.returncode)
+        log(txt[-3000:])
+        return
+    log(f"RESULT pretrain_loop {args.task} accum={args.accum} "
+        f"prefetch={not args.no_prefetch} steps={args.steps}: "
+        f"{final[-1].split('FINAL ')[-1].strip()} "
+        f"(wall {time.time() - t0:.0f}s incl. compiles)")
+
+
 def cmd_eval(args):
     import jax
     from uc2_tpu.config import UC2Config
@@ -383,6 +435,13 @@ def main():
     pab.set_defaults(iters=8)
     pap = sub.add_parser("apply"); common(pap)
     pap.set_defaults(iters=16)
+    pl = sub.add_parser("pretrain_loop"); common(pl)
+    pl.add_argument("--task", default="mlm")
+    pl.add_argument("--steps", type=int, default=120)
+    pl.add_argument("--accum", type=int, default=1)
+    pl.add_argument("--log_steps", type=int, default=20)
+    pl.add_argument("--warmup", type=int, default=20)
+    pl.add_argument("--no_prefetch", action="store_true")
     pe = sub.add_parser("eval"); common(pe)
     pe.add_argument("--n_txt", type=int, default=256)
     pe.add_argument("--n_img", type=int, default=128)
@@ -391,14 +450,17 @@ def main():
     if args.log:
         LOG = open(args.log, "a")
     log(f"=== tpu_measure {args.cmd} start", time.strftime("%H:%M:%S"))
-    import jax
-    import jax.numpy as jnp
-    t0 = time.time()
-    float(jnp.sum(jnp.ones((8, 8))))
-    log("device ready", round(time.time() - t0, 1))
+    if args.cmd != "pretrain_loop":
+        # pretrain_loop runs the driver in a SUBPROCESS which needs the
+        # chip — the parent must not initialize the tunnel backend
+        import jax
+        import jax.numpy as jnp
+        t0 = time.time()
+        float(jnp.sum(jnp.ones((8, 8))))
+        log("device ready", round(time.time() - t0, 1))
     {"score": cmd_score, "ab": cmd_ab, "train": cmd_train,
      "train_ab": cmd_train_ab, "apply": cmd_apply,
-     "eval": cmd_eval}[args.cmd](args)
+     "pretrain_loop": cmd_pretrain_loop, "eval": cmd_eval}[args.cmd](args)
     log(f"=== tpu_measure {args.cmd} done", time.strftime("%H:%M:%S"))
 
 
