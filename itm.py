@@ -163,7 +163,7 @@ def main(opts):
                 opt_state=M.shard_opt_state(mesh, state.opt_state))
         restorer = TrainingRestorer(
             opts.output_dir, {"lr": opts.learning_rate, "seed": opts.seed},
-            save_steps=opts.save_steps)
+            save_steps=opts.save_steps, write=is_main)
         if multi:
             assert MH.broadcast_object(restorer.restore_pending) \
                 == restorer.restore_pending, \
@@ -251,8 +251,8 @@ def main(opts):
                     out_path=os.path.join(opts.output_dir,
                                           f"hard_negs_{global_step}.json"))
                 dataset.reload_hard_negs(hard)
-            if is_main:
-                restorer.step(global_step, state)
+            # all hosts (collective gather under zero1; write=is_main)
+            restorer.step(global_step, state)
 
         # final full evaluation on every test db pair (itm.py:367-381)
         results = {}

@@ -210,7 +210,7 @@ def main(opts):
             opts.output_dir,
             {k: vars(opts)[k] for k in ("learning_rate", "seed",
                                         "train_batch_size")},
-            save_steps=opts.save_steps)
+            save_steps=opts.save_steps, write=is_main)
         if multi:
             # resume must be all-or-none across hosts (params would diverge)
             assert MH.broadcast_object(restorer.restore_pending) \
@@ -404,8 +404,9 @@ def main(opts):
                 validate(model, state, val, buckets, valid_ids, opts, mesh)
                 if is_main or opts.async_ckpt:
                     save_milestone(state, global_step)
-            if is_main:
-                restorer.step(global_step, state)
+            # all hosts: the save gathers process-sharded leaves (zero1)
+            # collectively; only write=is_main touches disk
+            restorer.step(global_step, state)
 
         drain()
         if opts.valid_steps and global_step % opts.valid_steps != 0:

@@ -43,13 +43,23 @@ argv = [
          "mix_ratio": [1, 1]}]),
     "--max_txt_len", "20", "--max_bb", "12", "--min_bb", "4",
     "--train_batch_size", "256", "--num_train_steps", "2",
-    "--warmup_steps", "1", "--valid_steps", "0", "--save_steps", "100",
+    "--warmup_steps", "1", "--valid_steps", "0", "--save_steps", "2",
     "--log_steps", "1", "--dtype", "float32", "--seed", "0",
     "--zero1",      # ZeRO-1 moment sharding under multi-process too
 ]
+# save_steps=2 → the periodic restorer save FIRES at step 2 with
+# process-sharded zero1 moments (the ADVICE r3 medium crash path: _to_host
+# must collectively gather non-addressable leaves, all hosts participating)
 opts = pretrain.parse_with_config(pretrain.build_parser(), argv)
 state = pretrain.main(opts)
 assert int(state.step) == 2, int(state.step)
+assert os.path.exists(os.path.join(tmp, "out", "restore.ckpt"))
+# resume: restore the zero1-sharded state on BOTH hosts and run 1 more step
+argv2 = list(argv)
+argv2[argv2.index("--num_train_steps") + 1] = "3"
+opts2 = pretrain.parse_with_config(pretrain.build_parser(), argv2)
+state2 = pretrain.main(opts2)
+assert int(state2.step) == 3, int(state2.step)
 # per-host data really is distinct
 from uc2_tpu.data.db import TxtTokDb
 ids0 = TxtTokDb(meta["txt_db"], max_txt_len=20, shard=(0, 2)).ids

@@ -238,6 +238,15 @@ class MetaLoader:
         # replaces the reference's any_broadcast, data/loader.py:41-45)
         self.sync_buckets = sync_buckets
         self.step = 0
+        if sync_buckets:
+            # run-unique KV namespace, agreed by a one-off broadcast at
+            # construction (main thread, before any prefetch): without it a
+            # RESUMED run's window counter restarts at 0 and collides with
+            # the previous run's still-present `uc2/bucket/0` key
+            import uuid
+            from uc2_tpu.parallel import multihost as MH
+            self.kv_ns = MH.broadcast_object(
+                uuid.uuid4().hex[:12] if MH.process_index() == 0 else None)
 
     def __iter__(self):
         return self
@@ -250,10 +259,15 @@ class MetaLoader:
         # stays identical on every host). Key is unique per window.
         from uc2_tpu.parallel import multihost as MH
         n = self.accum_steps if self.stack else None
-        key = f"uc2/bucket/{step}"
+        key = f"uc2/bucket/{self.kv_ns}/{step}"
         if MH.process_index() == 0:
             batch = (loader.next_stacked(n) if n else loader.next_batch())
             MH.kv_broadcast_object(key, int(batch["_bucket"]))
+            # lazily retire old keys (root-side, per ADVICE r3): consumers
+            # trail the producer by at most the prefetch depth, so a
+            # 256-step rolling window is far beyond any live reader
+            if step >= 256:
+                MH.kv_delete(f"uc2/bucket/{self.kv_ns}/{step - 256}")
             return batch
         b = MH.kv_broadcast_object(key)
         return (loader.next_stacked(n, bucket=b) if n

@@ -123,6 +123,24 @@ def kv_broadcast_object(key: str, obj: Any = None, root: int = 0,
     return pickle.loads(base64.b64decode(payload))
 
 
+def kv_delete(key: str) -> None:
+    """Delete a coordination-service key (idempotent; missing keys are
+    fine). Producers of per-step keys must retire old ones — the store
+    lives for the whole job, and one leaked entry per window is hundreds
+    of thousands over a pretraining run (ADVICE r3)."""
+    import jax
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+    client = distributed.global_state.client
+    if client is None:
+        return
+    try:
+        client.key_value_delete(key)
+    except Exception:
+        pass
+
+
 def sum_across_hosts(value: float) -> float:
     """Scalar metric reduction (reference sums all_gather_list results,
     pretrain.py:707-709)."""

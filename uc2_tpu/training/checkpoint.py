@@ -25,7 +25,21 @@ from flax import serialization
 
 
 def _to_host(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    """Pull a tree host-side. Process-sharded leaves (multi-host ZeRO-1
+    moments: only a 1/N shard is addressable locally) are collectively
+    gathered — EVERY process must therefore enter this function together
+    (drivers call restorer.step on all hosts; only the writer touches
+    disk). np.asarray alone raises on non-addressable jax.Arrays, which
+    crashed the first periodic save of any multi-host --zero1 run
+    (ADVICE r3 medium)."""
+    def pull(x):
+        if isinstance(x, jax.Array) and not (
+                x.is_fully_addressable or x.is_fully_replicated):
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(
+                x, tiled=True))
+        return np.asarray(x)
+    return jax.tree_util.tree_map(pull, tree)
 
 
 def save_tree(path: str, tree: Any):
@@ -107,11 +121,19 @@ class TrainingRestorer:
     """Preemption-safe restorer with two-file rotation + hps check
     (reference utils/save.py:164-213)."""
 
-    def __init__(self, output_dir: str, hps: Dict, save_steps: int = 200):
+    def __init__(self, output_dir: str, hps: Dict, save_steps: int = 200,
+                 write: bool = True):
+        """``write=False`` (non-main hosts): participates in the
+        collective state gather inside save() — required when leaves are
+        process-sharded — but never touches the filesystem. ALL hosts
+        must call step()/save() in lockstep (same cadence as the
+        reference's rank0 NoOp swap, pretrain.py:472-473, except the
+        gather makes participation mandatory rather than optional)."""
         self.restore_path = os.path.join(output_dir, "restore.ckpt")
         self.backup_path = os.path.join(output_dir, "restore_backup.ckpt")
         self.hps_path = os.path.join(output_dir, "restore_hps.json")
         self.save_steps = save_steps
+        self.write = write
         self.hps = {k: v for k, v in hps.items()}
         if os.path.exists(self.restore_path) or os.path.exists(
                 self.backup_path):
@@ -121,9 +143,10 @@ class TrainingRestorer:
             assert same, "hyperparameters changed across restore"
             self.restore_pending = True
         else:
-            os.makedirs(output_dir, exist_ok=True)
-            with open(self.hps_path, "w") as f:
-                json.dump(self.hps, f, default=str)
+            if write:
+                os.makedirs(output_dir, exist_ok=True)
+                with open(self.hps_path, "w") as f:
+                    json.dump(self.hps, f, default=str)
             self.restore_pending = False
 
     def step(self, global_step: int, state) -> None:
@@ -131,15 +154,26 @@ class TrainingRestorer:
             self.save(state)
 
     def save(self, state):
+        host_state = _to_host(state)      # collective when sharded
+        if not self.write:
+            return
         if os.path.exists(self.restore_path):
             os.replace(self.restore_path, self.backup_path)
-        save_tree(self.restore_path, state)
+        save_tree(self.restore_path, host_state)
 
     def restore(self, target):
         for path in (self.restore_path, self.backup_path):
             if os.path.exists(path):
                 try:
-                    return load_tree(path, target)
+                    tree = load_tree(path, target)
                 except Exception:
                     continue
+                # re-place every leaf on its target sharding: without this
+                # a resumed run silently loses ZeRO-1 moment sharding (the
+                # numpy leaves would re-commit replicated on first use)
+                def put(x, t):
+                    if isinstance(t, jax.Array):
+                        return jax.device_put(x, t.sharding)
+                    return x
+                return jax.tree_util.tree_map(put, tree, target)
         raise FileNotFoundError("no restore checkpoint found")

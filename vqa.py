@@ -103,7 +103,8 @@ def main(opts):
         restorer = TrainingRestorer(opts.output_dir,
                                     {"lr": opts.learning_rate,
                                      "seed": opts.seed},
-                                    save_steps=opts.save_steps)
+                                    save_steps=opts.save_steps,
+                                    write=MH.process_index() == 0)
         if restorer.restore_pending:
             state = restorer.restore(state)
         saver = ModelSaver(opts.output_dir)
