@@ -139,10 +139,22 @@ def main(opts):
 
         # final predictions CSV for the official scorer
         if opts.pred_csv:
-            tl = TaskLoader("nlvr2-eval", dataset, [bucket], seed=0,
+            # predictions must sweep the FULL dataset, host-identically:
+            # the train txt_db is shard-striped when multi, so rebuild the
+            # prediction dataset over an UNSHARDED TxtTokDb — replicating
+            # per-host-distinct batches is exactly the inconsistency
+            # batch_shardings' ragged guard exists to stop (ADVICE r3 low)
+            if multi:
+                pred_ds = type(dataset)(
+                    TxtTokDb(opts.train_txt_db,
+                             max_txt_len=opts.max_txt_len),
+                    img_db, use_img_type=opts.use_img_type)
+            else:
+                pred_ds = dataset
+            tl = TaskLoader("nlvr2-eval", pred_ds, [bucket], seed=0,
                             shuffle=False, drop_last=False)
             preds = {}
-            ids = list(dataset.ids)
+            ids = list(pred_ds.ids)
             for _ in range(max(1, len(ids) // bucket.batch_size)):
                 b = tl.next_batch()
                 b.pop("_bucket", None)

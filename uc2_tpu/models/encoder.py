@@ -309,8 +309,12 @@ class EncoderLayer(nn.Module):
                                              fused_ffn_profitable)
         import os
         force = impl == "fused-force"
+        # "flash" (jax's stock TPU flash kernel) must NOT route into the
+        # fused-block path, or the stock kernel would never actually run
+        # in A/Bs (ADVICE r3 low)
         fusable = (deterministic and cfg.quant == "none"
-                   and (force or (impl not in ("xla",) and _on_tpu())))
+                   and (force or (impl in ("pallas", "pallas-train")
+                                  and _on_tpu())))
         fuse = fusable and (force or fused_block_profitable(
             x.shape[1], cfg.num_attention_heads))
         # v2 computes the QKV projection in-kernel (the [B, L, 3H]
