@@ -47,6 +47,8 @@ import numpy as np
 # a program that compiles in ~3 min uncached).
 
 V100_BASELINE_PAIRS_PER_SEC = 600.0   # the flat L=162 estimate (BASELINE.md)
+CHIP_CALIB_TFLOPS = 125.0   # sustained bf16 8192^3 matmul on this chip
+                            # (BASELINE.md round-1 calibration row)
 
 LT = 62
 # nbb bucket upper edges; match evalu/retrieval.py
@@ -174,6 +176,15 @@ def main():
     base_rates = [v100_rate(LT + nb) for nb in BUCKET_EDGES]
     base_envelope = envelope(base_rates, w_hist)
 
+    # MFU / roofline accounting (VERDICT r3 #5): implied TF/s per bucket
+    # from the FLOPs model, as % of the chip's own matmul calibration —
+    # certifies the numbers are physically possible and shows how much
+    # scoring headroom remains
+    bucket_tfs = {str(nb): round(r * flops_per_pair(LT + nb) / 1e12, 1)
+                  for nb, r in zip(BUCKET_EDGES, rates)}
+    bucket_mfu = {k: round(100 * v / CHIP_CALIB_TFLOPS, 1)
+                  for k, v in bucket_tfs.items()}
+
     print(json.dumps({
         "metric": "itm_scoring_pairs_per_sec_per_chip",
         "value": round(value, 1),
@@ -188,6 +199,9 @@ def main():
                          for nb, r in zip(BUCKET_EDGES, rates)},
         "bucket_weights": {str(nb): round(w, 4)
                            for nb, w in zip(BUCKET_EDGES, w_hist)},
+        "bucket_implied_tflops": bucket_tfs,
+        "bucket_pct_of_calibration": bucket_mfu,
+        "calibration_tflops": CHIP_CALIB_TFLOPS,
         "nbb_hist": {"path": os.path.relpath(args.nbb_hist), "n": n_imgs},
     }))
 
