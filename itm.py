@@ -157,10 +157,17 @@ def main(opts):
 
     with mesh:
         state = jax.jit(lambda p: create_train_state(p, tx))(sharded)
+        z1_out = None
         if opts.zero1:
-            # ZeRO-1 optimizer-state sharding over the data axis
+            # ZeRO-1 optimizer-state sharding over the data axis; the
+            # out_shardings pin below keeps params replicated (without it
+            # GSPMD drifts them data-sharded — silent ZeRO-3;
+            # step.py:zero1_out_shardings)
+            from uc2_tpu.training.step import zero1_out_shardings
             state = state._replace(
                 opt_state=M.shard_opt_state(mesh, state.opt_state))
+            z1_out = zero1_out_shardings(mesh, state.params,
+                                         state.opt_state)["fused"]
         restorer = TrainingRestorer(
             opts.output_dir, {"lr": opts.learning_rate, "seed": opts.seed},
             save_steps=opts.save_steps, write=is_main)
@@ -185,7 +192,7 @@ def main(opts):
             def save_milestone(st, step):
                 saver.save(jax.tree_util.tree_map(
                     np.asarray, jax.device_get(st.params)), step)
-        jit_step = jax.jit(train_step)
+        jit_step = jax.jit(train_step, out_shardings=z1_out)
 
         meter = RunningMeter("rank_loss")
         rng_key = jax.random.PRNGKey(opts.seed + 1)

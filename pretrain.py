@@ -197,13 +197,20 @@ def main(opts):
 
     with mesh:
         state = jax.jit(lambda p: create_train_state(p, tx))(sharded_params)
+        z1_out = {"split": None, "fused": None}
         if opts.zero1:
             # ZeRO-1: Adam moments shard over the data axis — the apply is
             # HBM-bound (measured 13.3 ms for replicated uc2-base state,
             # BASELINE.md), so sharding divides its traffic/memory by the
-            # data-axis size; XLA inserts the collectives
+            # data-axis size; XLA inserts the collectives. z1_out pins the
+            # step OUTPUT layout — without it GSPMD propagates the moment
+            # sharding onto the params (silent ZeRO-3;
+            # step.py:zero1_out_shardings)
+            from uc2_tpu.training.step import zero1_out_shardings
             state = state._replace(
                 opt_state=M.shard_opt_state(mesh, state.opt_state))
+            z1_out = zero1_out_shardings(mesh, state.params,
+                                         state.opt_state)
         # hps-equality guard on resume (reference utils/save.py:168-171);
         # num_train_steps is deliberately excluded so runs can be extended
         restorer = TrainingRestorer(
@@ -250,7 +257,8 @@ def main(opts):
                         itm_ot_lambda=opts.itm_ot_lambda,
                         ot_pos_only=opts.ot_pos_only)
                     gj = jax.jit(g)
-                    aj = jax.jit(a, donate_argnums=(0, 1, 2))
+                    aj = jax.jit(a, donate_argnums=(0, 1, 2),
+                                 out_shardings=z1_out["split"])
 
                     def split(state, batch, rng, gj=gj, aj=aj):
                         grads, metrics = gj(state.params, batch, rng)
@@ -263,7 +271,8 @@ def main(opts):
                     steps[base] = jax.jit(make_train_step(
                         model, base, tx, valid_ids=valid_ids,
                         itm_ot_lambda=opts.itm_ot_lambda,
-                        ot_pos_only=opts.ot_pos_only))
+                        ot_pos_only=opts.ot_pos_only),
+                        out_shardings=z1_out["fused"])
             return steps[base]
 
         task2loss = defaultdict(
@@ -317,7 +326,8 @@ def main(opts):
                     itm_ot_lambda=opts.itm_ot_lambda,
                     ot_pos_only=opts.ot_pos_only)
                 grad_fns[base] = (jax.jit(g),
-                                  jax.jit(a, donate_argnums=(0, 1, 2)))
+                                  jax.jit(a, donate_argnums=(0, 1, 2),
+                                          out_shardings=z1_out["split"]))
             return grad_fns[base]
 
         while global_step < opts.num_train_steps:

@@ -159,14 +159,40 @@ def accumulated_grads(loss_fn: Callable, params, batch, rng):
     return grads, metrics
 
 
+def zero1_out_shardings(mesh, params, opt_state):
+    """Output-sharding pytrees that pin the ZeRO-1 step's layout:
+    ``{"fused": ..., "split": ...}`` for jitting make_train_step /
+    make_split_train_step's apply respectively.
+
+    Without an explicit out_shardings, ZeRO-1 silently becomes ZeRO-3:
+    GSPMD propagates the data-sharded moment layout onto the OUTPUT
+    params (measured on the 8-device mesh: params in P('model', None)
+    came back P('data')), so every later grad step all-gathers the
+    weights per layer. with_sharding_constraint inside the function is
+    NOT equivalent: it compiles to 2x all-gather traffic where
+    out_shardings compiles to the textbook 1x — shard-local elementwise
+    update, ONE param-sized gather of the updates, moments never
+    materialized full-size (pinned by tests/test_zero1.py HLO
+    accounting)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    from uc2_tpu.parallel import mesh as M
+    p_sh = M.param_shardings(mesh, params)
+    o_sh = M.opt_shardings(mesh, opt_state)
+    rep = NamedSharding(mesh, PartitionSpec())
+    return {"split": (p_sh, o_sh),
+            "fused": (TrainState(step=rep, params=p_sh, opt_state=o_sh),
+                      None)}
+
+
 def make_train_step(model: UC2ForPretraining, task: str,
                     tx: optax.GradientTransformation,
                     valid_ids: Optional[np.ndarray] = None,
                     itm_ot_lambda: float = 0.1, ot_pos_only: bool = False,
                     donate: bool = True) -> Callable:
     """fn(state, batch, rng) → (state, metrics). Jit with appropriate
-    shardings at the call site (see parallel/mesh.py). Batches with a
-    leading [accum] axis scan-accumulate in-step."""
+    shardings at the call site (see parallel/mesh.py); under ZeRO-1 pass
+    ``out_shardings=zero1_out_shardings(...)["fused"]`` to the jit.
+    Batches with a leading [accum] axis scan-accumulate in-step."""
     loss_fn = make_loss_fn(model, task, valid_ids, itm_ot_lambda, ot_pos_only)
 
     def step_fn(state: TrainState, batch, rng):
