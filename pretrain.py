@@ -175,18 +175,29 @@ def main(opts):
     stack = accum > 1 and not opts.host_accum
     meta = MetaLoader(loaders, ratios, accum_steps=accum, seed=opts.seed,
                       stack_microbatches=stack, sync_buckets=multi)
-    # background thread assembles the next batches while the device runs
-    # the current step (reference PrefetchLoader's H2D side stream,
-    # data/loader.py:85-140). Multi-host included: the per-window bucket
-    # sync goes through the coordination-service KV store (no device
-    # collective), so the prefetch thread cannot desynchronize the main
-    # thread's mesh-program order across hosts.
-    if not opts.no_prefetch:
-        from uc2_tpu.data.loader import PrefetchLoader
-        meta = PrefetchLoader(meta, depth=2)
 
     # ---- mesh + optimizer + state
     mesh = M.make_mesh(n_model=opts.n_model)
+
+    # background thread assembles the next batches AND places them on
+    # device while the current step runs (reference PrefetchLoader's H2D
+    # side stream, data/loader.py:85-140): batch assembly, the `_bucket`
+    # bookkeeping pops and the shard_batch H2D all leave the hot loop.
+    # Safe off-thread: device_put/make_array_from_process_local_data are
+    # local buffer placements, not device collectives, and the per-window
+    # bucket sync rides the coordination-service KV store — so the
+    # prefetch thread cannot desynchronize the main thread's mesh-program
+    # order across hosts.
+    pre_sharded = not opts.no_prefetch
+    if pre_sharded:
+        from uc2_tpu.data.loader import PrefetchLoader
+
+        def _assemble(item):
+            name, batch = item
+            batch.pop("_bucket", None)
+            batch.pop("sample_size", None)
+            return name, M.shard_batch(mesh, batch, stacked=stack)
+        meta = PrefetchLoader(meta, depth=2, device_put=_assemble)
     lr_fn = O.get_lr_schedule(opts.decay, opts.learning_rate,
                               opts.warmup_steps, opts.num_train_steps)
     tx = O.build_optimizer(params, lr_fn, opts.weight_decay,
@@ -333,11 +344,12 @@ def main(opts):
         while global_step < opts.num_train_steps:
             if accum == 1 or stack:
                 name, batch = next(meta)
-                batch.pop("_bucket", None)
-                batch.pop("sample_size", None)
+                if not pre_sharded:       # prefetch thread already did both
+                    batch.pop("_bucket", None)
+                    batch.pop("sample_size", None)
+                    batch = M.shard_batch(mesh, batch, stacked=stack)
                 bs = batch["input_ids"].shape
                 n_examples[name] += (bs[0] * bs[1] if stack else bs[0])
-                batch = M.shard_batch(mesh, batch, stacked=stack)
                 rng_key, sub = jax.random.split(rng_key)
                 state, metrics = get_step_fn(name)(state, batch, sub)
             else:
@@ -350,10 +362,11 @@ def main(opts):
                 metrics_sum = None
                 for _ in range(accum):
                     name, batch = next(meta)
-                    batch.pop("_bucket", None)
-                    batch.pop("sample_size", None)
+                    if not pre_sharded:
+                        batch.pop("_bucket", None)
+                        batch.pop("sample_size", None)
+                        batch = M.shard_batch(mesh, batch)
                     n_examples[name] += batch["input_ids"].shape[0]
-                    batch = M.shard_batch(mesh, batch)
                     rng_key, sub = jax.random.split(rng_key)
                     gj, aj = get_grad_apply(name)
                     g, m = gj(state.params, batch, sub)
