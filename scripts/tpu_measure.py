@@ -220,7 +220,9 @@ def cmd_train_ab(args):
         rng.integers(4, 250002, (B, M)).astype(np.int32))
     arms = {}
     for impl, ce in (("xla", 0), ("pallas-train", 0),
-                     ("pallas-train+ce8", 8)):
+                     ("pallas-train+ce8", 8), ("pallas-train+ffnt", 0)):
+        # the training-FFN-block gate is read at trace time (encoder.py)
+        os.environ["UC2_FFN_TRAIN"] = "1" if impl.endswith("ffnt") else "0"
         cfg = UC2Config(dtype=args.dtype,
                         use_pallas_attention=(False if impl == "xla"
                                               else "pallas-train"))

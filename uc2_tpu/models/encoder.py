@@ -355,6 +355,14 @@ class EncoderLayer(nn.Module):
         down = DenseP(cfg.intermediate_size, H, dtype=dtype, quant=cfg.quant,
                       name="output_dense")
         oln2 = LayerNormP(H, eps=eps, dtype=dtype, name="output_LayerNorm")
+        # training-path FFN fusion (full Pallas fwd+bwd, in-kernel dropout
+        # + recompute — ops/ffn_train.py): experiment-gated via
+        # UC2_FFN_TRAIN=1 pending the end-to-end chained-scan race in the
+        # fixed train_ab harness (round-3 lesson: isolated kernel races do
+        # not predict in-graph wins — three flips)
+        ffn_train = (not deterministic and impl == "pallas-train"
+                     and cfg.quant == "none"
+                     and os.environ.get("UC2_FFN_TRAIN") == "1")
         if fuse_ffn:
             w1, b1 = inter.raw()
             w2, b2 = down.raw()
@@ -362,6 +370,21 @@ class EncoderLayer(nn.Module):
             x = fused_ffn_block(x, w1.astype(dtype), b1, w2.astype(dtype),
                                 b2, g2, be2, eps=eps,
                                 interpret=not _on_tpu())
+        elif ffn_train:
+            from uc2_tpu.ops.ffn_train import fused_ffn_block_train
+            rate = cfg.hidden_dropout_prob
+            if rate > 0:
+                seed = jax.random.randint(self.make_rng("dropout"), (),
+                                          0, 2 ** 31 - 1, dtype=jnp.int32)
+            else:
+                seed = jnp.int32(0)
+            w1, b1 = inter.raw()
+            w2, b2 = down.raw()
+            g2, be2 = oln2.raw()
+            x = fused_ffn_block_train(x, w1.astype(dtype), b1,
+                                      w2.astype(dtype), b2, g2, be2, seed,
+                                      float(rate), float(eps),
+                                      not _on_tpu())
         else:
             h = gelu(inter(x))
             h = down(h)
