@@ -85,11 +85,14 @@ def multi_head_attention(q, k, v, bias, dropout_rate: float = 0.0,
     → our Pallas kernels everywhere: the fused inference kernel for
     dropout-free calls AND flash_attention_train (in-kernel probs dropout +
     full Pallas backward) for training. The chained-scan grad-only A/B at
-    uc2-base/L=162/B=64 on v5e measures pallas-train 24.8-26.1 vs XLA
-    17.7-17.9 steps/s (−31% step time); round 2's "9% slower" verdict came
-    from per-dispatch timing, which does not sync through this image's
-    tunnel and measured queue bleed, not compute (bench_results.txt,
-    train_ab). "flash" → jax's stock TPU flash kernel (inference only).
+    uc2-base/L=162/B=64 on v5e (round 4, every grad leaf live) measures
+    pallas-train 10.5-10.75 vs XLA 7.44-7.48 steps/s (−31% step time);
+    round 2's "9% slower" verdict came from per-dispatch timing, which
+    does not sync through this image's tunnel, and round 3's 26.5-vs-17.7
+    absolute rates were inflated by a dead-code hole (DESIGN.md
+    post-mortem #3) — the relative verdict held through both fixes
+    (bench_results.txt, train_ab). "flash" → jax's stock TPU flash kernel
+    (inference only).
     """
     impl = {False: "xla", True: "pallas"}.get(use_pallas, use_pallas)
     if impl != "xla" and _on_tpu():
