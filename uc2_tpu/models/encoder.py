@@ -356,10 +356,10 @@ class EncoderLayer(nn.Module):
                       name="output_dense")
         oln2 = LayerNormP(H, eps=eps, dtype=dtype, name="output_LayerNorm")
         # training-path FFN fusion (full Pallas fwd+bwd, in-kernel dropout
-        # + recompute — ops/ffn_train.py): experiment-gated via
-        # UC2_FFN_TRAIN=1 pending the end-to-end chained-scan race in the
-        # fixed train_ab harness (round-3 lesson: isolated kernel races do
-        # not predict in-graph wins — three flips)
+        # + recompute — ops/ffn_train.py): raced end-to-end r4 — WASH
+        # (+2% mean, inside trial spread; verdict table in the module
+        # docstring) → stays opt-in via UC2_FFN_TRAIN=1 per the
+        # ship-only-confirmed-wins rule
         ffn_train = (not deterministic and impl == "pallas-train"
                      and cfg.quant == "none"
                      and os.environ.get("UC2_FFN_TRAIN") == "1")

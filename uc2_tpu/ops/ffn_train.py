@@ -25,6 +25,17 @@ extra ~2.4 GFLOP at ~2 TF/s-per-layer-budget. Per the round-3 lesson
 (isolated races do NOT predict in-graph wins — three flips), this ships
 only behind an end-to-end chained-scan A/B: dispatch is gated on
 UC2_FFN_TRAIN=1 until the race verdict is recorded here.
+
+RACE VERDICT (v5e, 4-arm train_ab, mlm B=64 L=162 M=24, every grad leaf
+live, 3 trials, bench_results.txt r4): pallas-train+ffnt 10.77 / 10.86 /
+11.06 vs pallas-train 10.80 / 10.77 / 10.48 grad-steps/s — mean +2%,
+inside the ±3% trial spread. The traffic model predicted ~2% (the FFN's
+~126 MB/layer HBM saving against a ~93 ms step dominated by the
+[1536, 250002] LM-head and attention backward), so the kernel performs
+as designed but the step's bound is elsewhere. Verdict: WASH — never
+loses, sometimes +5%; stays OPT-IN (UC2_FFN_TRAIN=1) per the ship-only-
+confirmed-wins rule, revisit if the head/attention costs shrink (e.g.
+larger batch, chunked-CE shapes, or models with a bigger FFN share).
 """
 
 from __future__ import annotations
