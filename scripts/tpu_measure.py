@@ -219,8 +219,12 @@ def cmd_train_ab(args):
     batch["txt_labels"] = jnp.asarray(
         rng.integers(4, 250002, (B, M)).astype(np.int32))
     arms = {}
-    for impl, ce in (("xla", 0), ("pallas-train", 0),
-                     ("pallas-train+ce8", 8), ("pallas-train+ffnt", 0)):
+    all_arms = (("xla", 0), ("pallas-train", 0),
+                ("pallas-train+ce8", 8), ("pallas-train+ffnt", 0))
+    want = set(args.arms.split(",")) if args.arms else None
+    for impl, ce in all_arms:
+        if want is not None and impl not in want:
+            continue
         # the training-FFN-block gate is read at trace time (encoder.py)
         os.environ["UC2_FFN_TRAIN"] = "1" if impl.endswith("ffnt") else "0"
         cfg = UC2Config(dtype=args.dtype,
@@ -434,6 +438,9 @@ def main():
     pab = sub.add_parser("train_ab"); common(pab)
     pab.add_argument("--task", default="mlm")
     pab.add_argument("--masked", type=int, default=24)
+    pab.add_argument("--arms", default="",
+                     help="comma list of arms to run (default: all 4), "
+                          "e.g. 'pallas-train' for a batch-size sweep")
     pab.set_defaults(iters=8)
     pap = sub.add_parser("apply"); common(pap)
     pap.set_defaults(iters=16)
