@@ -351,6 +351,7 @@ def cmd_pretrain_loop(args):
            "--perf_warmup_steps", str(args.warmup),
            "--split_step",          # fused grad+adamw hangs this image's
                                     # remote compiler (BASELINE.md quirk)
+           "--train_batch_size", str(args.budget),
            "--dtype", args.dtype]
     if args.no_prefetch:
         cmd.append("--no_prefetch")
@@ -451,6 +452,10 @@ def main():
     pl.add_argument("--log_steps", type=int, default=20)
     pl.add_argument("--warmup", type=int, default=20)
     pl.add_argument("--no_prefetch", action="store_true")
+    pl.add_argument("--budget", type=int, default=10240,
+                    help="token budget per bucket batch (reference "
+                         "default 10240 -> B~63 at joint L=162; 20480 "
+                         "lands on the measured B=128 grad sweet spot)")
     pe = sub.add_parser("eval"); common(pe)
     pe.add_argument("--n_txt", type=int, default=256)
     pe.add_argument("--n_img", type=int, default=128)

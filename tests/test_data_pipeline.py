@@ -250,11 +250,79 @@ def test_meta_loader_determinism(corpus):
         assert names[i] == names[i + 1]
 
 
+def test_meta_loader_kv_namespace_and_retirement(corpus, monkeypatch):
+    """sync_buckets keys live in a run-unique namespace and the root
+    retires keys older than the 256-step rolling window (ADVICE r3: one
+    leaked key per window is hundreds of thousands over a run)."""
+    from uc2_tpu.parallel import multihost as MH
+    stored, deleted = {}, []
+    monkeypatch.setattr(MH, "kv_broadcast_object",
+                        lambda key, obj=None, root=0, **kw:
+                        stored.setdefault(key, obj) or obj)
+    monkeypatch.setattr(MH, "kv_delete", lambda key: deleted.append(key))
+    txt, img = dbs(corpus)
+    loaders = {"mlm": TaskLoader("mlm", D.MlmDataset(txt, img), BUCKETS,
+                                 seed=7)}
+    a = MetaLoader(loaders, seed=11, sync_buckets=True)
+    b = MetaLoader(loaders, seed=11, sync_buckets=True)
+    assert a.kv_ns != b.kv_ns          # run-unique: no resume collision
+    for _ in range(260):
+        next(a)
+    assert all(k.startswith(f"uc2/bucket/{a.kv_ns}/") for k in stored)
+    # steps 256..259 retired keys 0..3
+    assert deleted == [f"uc2/bucket/{a.kv_ns}/{i}" for i in range(4)]
+
+
 def test_prefetch_loader():
     src = iter(range(10))
     pf = PrefetchLoader(iter([{"x": np.ones(3)} for _ in range(5)]), depth=2)
     out = list(pf)
     assert len(out) == 5
+
+
+def test_prefetch_loader_device_put_hook():
+    # the hook runs IN the worker thread (pretrain.py moves shard_batch
+    # H2D there — measured +32% sustained, BASELINE.md r4) and must
+    # preserve order and apply exactly once per item
+    import threading
+    seen_threads = set()
+
+    def hook(item):
+        seen_threads.add(threading.get_ident())
+        return {**item, "tagged": item["i"] * 10}
+
+    pf = PrefetchLoader(iter([{"i": i} for i in range(6)]), depth=2,
+                        device_put=hook)
+    out = list(pf)
+    assert [b["tagged"] for b in out] == [0, 10, 20, 30, 40, 50]
+    assert threading.get_ident() not in seen_threads  # ran off-thread
+
+
+def test_prefetch_loader_propagates_worker_error():
+    def gen():
+        yield {"i": 0}
+        raise RuntimeError("boom in worker")
+
+    pf = PrefetchLoader(gen(), depth=2)
+    assert next(pf)["i"] == 0
+    import pytest
+    with pytest.raises(RuntimeError, match="boom in worker"):
+        next(pf)
+
+
+def test_prefetch_loader_hook_error_propagates():
+    def hook(item):
+        if item["i"] == 2:
+            raise ValueError("bad H2D")
+        return item
+
+    pf = PrefetchLoader(iter([{"i": i} for i in range(4)]), depth=2,
+                        device_put=hook)
+    assert next(pf)["i"] == 0
+    assert next(pf)["i"] == 1
+    import pytest
+    with pytest.raises(ValueError, match="bad H2D"):
+        next(pf)
 
 
 def test_bucket_batcher():
