@@ -374,6 +374,47 @@ def cmd_pretrain_loop(args):
         f"(wall {time.time() - t0:.0f}s incl. compiles)")
 
 
+def cmd_h2d(args):
+    """Tunnel transport microbench: H2D bandwidth + per-dispatch
+    round-trip latency. Attributes the sustained-pretrain-loop gap
+    (BASELINE.md r4: 147 ex/s sustained vs 681 ex/s derived compute
+    rate) to measured transport numbers instead of a hand-wave. Sync
+    discipline: block_until_ready does NOT block through this tunnel, so
+    every timing closes with a device->host scalar readback that DEPENDS
+    on the transferred data (jnp.sum)."""
+    import jax
+    import jax.numpy as jnp
+
+    # (a) dispatch round-trip: tiny jitted program + scalar readback
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.float32(0.0)
+    float(f(x))                                     # compile
+    for trial in range(args.trials):
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            x = f(x)
+            float(x)                                # full round trip
+        dt = time.perf_counter() - t0
+        log(f"RESULT h2d dispatch-roundtrip trial{trial}: "
+            f"{1e3 * dt / args.iters:.1f} ms/dispatch "
+            f"({args.iters / dt:.1f} sync'd dispatches/s)")
+
+    # (b) H2D bandwidth at pretrain-batch-like sizes (fp16 img_feat for
+    # one bucket batch is ~13-52 MB)
+    s = jax.jit(lambda a: jnp.sum(a.astype(jnp.float32)))
+    for mb in (8, 32, 64):
+        arr = np.ones((mb * 1024 * 1024 // 2,), np.float16)
+        float(s(jax.device_put(arr)))               # compile + warm
+        for trial in range(args.trials):
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                float(s(jax.device_put(arr)))       # readback depends on data
+            dt = time.perf_counter() - t0
+            per = dt / args.iters
+            log(f"RESULT h2d {mb}MB trial{trial}: {per * 1e3:.0f} ms/xfer "
+                f"= {mb / per:.0f} MB/s (incl. one dispatch+readback)")
+
+
 def cmd_eval(args):
     import jax
     from uc2_tpu.config import UC2Config
@@ -456,6 +497,8 @@ def main():
                     help="token budget per bucket batch (reference "
                          "default 10240 -> B~63 at joint L=162; 20480 "
                          "lands on the measured B=128 grad sweet spot)")
+    ph = sub.add_parser("h2d"); common(ph)
+    ph.set_defaults(iters=10, trials=2)
     pe = sub.add_parser("eval"); common(pe)
     pe.add_argument("--n_txt", type=int, default=256)
     pe.add_argument("--n_img", type=int, default=128)
@@ -474,7 +517,8 @@ def main():
         log("device ready", round(time.time() - t0, 1))
     {"score": cmd_score, "ab": cmd_ab, "train": cmd_train,
      "train_ab": cmd_train_ab, "apply": cmd_apply,
-     "pretrain_loop": cmd_pretrain_loop, "eval": cmd_eval}[args.cmd](args)
+     "pretrain_loop": cmd_pretrain_loop, "eval": cmd_eval,
+     "h2d": cmd_h2d}[args.cmd](args)
     log(f"=== tpu_measure {args.cmd} done", time.strftime("%H:%M:%S"))
 
 
