@@ -179,25 +179,7 @@ def main(opts):
     # ---- mesh + optimizer + state
     mesh = M.make_mesh(n_model=opts.n_model)
 
-    # background thread assembles the next batches AND places them on
-    # device while the current step runs (reference PrefetchLoader's H2D
-    # side stream, data/loader.py:85-140): batch assembly, the `_bucket`
-    # bookkeeping pops and the shard_batch H2D all leave the hot loop.
-    # Safe off-thread: device_put/make_array_from_process_local_data are
-    # local buffer placements, not device collectives, and the per-window
-    # bucket sync rides the coordination-service KV store — so the
-    # prefetch thread cannot desynchronize the main thread's mesh-program
-    # order across hosts.
     pre_sharded = not opts.no_prefetch
-    if pre_sharded:
-        from uc2_tpu.data.loader import PrefetchLoader
-
-        def _assemble(item):
-            name, batch = item
-            batch.pop("_bucket", None)
-            batch.pop("sample_size", None)
-            return name, M.shard_batch(mesh, batch, stacked=stack)
-        meta = PrefetchLoader(meta, depth=2, device_put=_assemble)
     lr_fn = O.get_lr_schedule(opts.decay, opts.learning_rate,
                               opts.warmup_steps, opts.num_train_steps)
     tx = O.build_optimizer(params, lr_fn, opts.weight_decay,
@@ -238,6 +220,37 @@ def main(opts):
         if restorer.restore_pending:
             state = restorer.restore(state)
             LOGGER.info("restored training at step %d", int(state.step))
+            if not multi:
+                # deterministic resume: replay the task/bucket/mask stream
+                # to the restored step (batches are never assembled); with
+                # the step-keyed rng in the loop below the resumed run is
+                # bit-identical to an uninterrupted one. Beyond the
+                # reference, whose restorer restarts the dataloader stream
+                # (utils/save.py:164-213 restores model/optimizer only).
+                # Multi-host keeps stream-restart semantics (the bucket
+                # sequence depends on host-0 runtime draws).
+                meta.fast_forward(int(state.step))
+
+        # background thread assembles the next batches AND places them on
+        # device while the current step runs (reference PrefetchLoader's
+        # H2D side stream, data/loader.py:85-140): batch assembly, the
+        # `_bucket` bookkeeping pops and the shard_batch H2D all leave the
+        # hot loop. Safe off-thread: device_put/make_array_from_process_
+        # local_data are local buffer placements, not device collectives,
+        # and the per-window bucket sync rides the coordination-service KV
+        # store — so the prefetch thread cannot desynchronize the main
+        # thread's mesh-program order across hosts. Wrapped only AFTER
+        # restore/fast_forward so the worker can't consume stream state
+        # the fast-forward needs to replay.
+        if pre_sharded:
+            from uc2_tpu.data.loader import PrefetchLoader
+
+            def _assemble(item):
+                name, batch = item
+                batch.pop("_bucket", None)
+                batch.pop("sample_size", None)
+                return name, M.shard_batch(mesh, batch, stacked=stack)
+            meta = PrefetchLoader(meta, depth=2, device_put=_assemble)
         if opts.async_ckpt:
             # orbax sharded/async milestone checkpoints (reference two-tier
             # cadence, utils/save.py:58-213; restorer keeps the rotation)
@@ -289,7 +302,10 @@ def main(opts):
         task2loss = defaultdict(
             lambda: RunningMeter("loss"))
         n_examples = defaultdict(int)
-        rng_key = jax.random.PRNGKey(opts.seed + 1)
+        # per-step keys are a PURE FUNCTION of the step index (fold_in),
+        # not a sequentially split chain — so a resumed run replays the
+        # exact dropout/mask randomness of an uninterrupted one
+        rng_base = jax.random.PRNGKey(opts.seed + 1)
         start = time.time()
         global_step = int(state.step)
         LOGGER.info("start training at step %d over %d tasks",
@@ -350,7 +366,7 @@ def main(opts):
                     batch = M.shard_batch(mesh, batch, stacked=stack)
                 bs = batch["input_ids"].shape
                 n_examples[name] += (bs[0] * bs[1] if stack else bs[0])
-                rng_key, sub = jax.random.split(rng_key)
+                sub = jax.random.fold_in(rng_base, global_step)
                 state, metrics = get_step_fn(name)(state, batch, sub)
             else:
                 # host-side accumulation: grads summed on device across
@@ -360,14 +376,15 @@ def main(opts):
                 from uc2_tpu.training.step import TrainState
                 grads_sum = None
                 metrics_sum = None
-                for _ in range(accum):
+                for k_micro in range(accum):
                     name, batch = next(meta)
                     if not pre_sharded:
                         batch.pop("_bucket", None)
                         batch.pop("sample_size", None)
                         batch = M.shard_batch(mesh, batch)
                     n_examples[name] += batch["input_ids"].shape[0]
-                    rng_key, sub = jax.random.split(rng_key)
+                    sub = jax.random.fold_in(
+                        rng_base, global_step * accum + k_micro)
                     gj, aj = get_grad_apply(name)
                     g, m = gj(state.params, batch, sub)
                     if grads_sum is None:
@@ -430,6 +447,14 @@ def main(opts):
             # all hosts: the save gathers process-sharded leaves (zero1)
             # collectively; only write=is_main touches disk
             restorer.step(global_step, state)
+
+            if opts.stop_after_steps and global_step >= opts.stop_after_steps:
+                # simulated preemption (tests / controlled drains): leave
+                # the loop with the schedule still targeting
+                # num_train_steps, exactly like a real kill + resume
+                LOGGER.info("stop_after_steps=%d reached — stopping early",
+                            opts.stop_after_steps)
+                break
 
         drain()
         if opts.valid_steps and global_step % opts.valid_steps != 0:
@@ -575,6 +600,11 @@ def build_parser():
                         "prefetch is on by default, single- and multi-host)")
     p.add_argument("--save_steps", type=int, default=200)
     p.add_argument("--log_steps", type=int, default=100)
+    p.add_argument("--stop_after_steps", type=int, default=0,
+                   help="stop the loop after this many steps WITHOUT "
+                        "changing the lr schedule's num_train_steps — "
+                        "simulates preemption for resume tests / "
+                        "controlled drains (0 = run to num_train_steps)")
     p.add_argument("--runahead", type=int, default=8,
                    help="max windows the host may enqueue ahead of the "
                         "device (bounds in-flight batch HBM; per-step "

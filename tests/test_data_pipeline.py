@@ -250,6 +250,40 @@ def test_meta_loader_determinism(corpus):
         assert names[i] == names[i + 1]
 
 
+def test_meta_loader_fast_forward_equivalence(corpus):
+    """fast_forward(n) leaves the stream in EXACTLY the state of having
+    consumed n optimizer steps — same task picks, same bucket draws, same
+    epoch rollovers, same masking-rng keying (deterministic resume)."""
+    txt, img = dbs(corpus)
+
+    def make(accum, stacked):
+        loaders = {
+            "mlm": TaskLoader("mlm", D.MlmDataset(txt, img), BUCKETS,
+                              seed=7),
+            "itm": TaskLoader("itm", D.ItmDataset(txt, img), BUCKETS,
+                              seed=7),
+        }
+        return MetaLoader(loaders, ratios={"mlm": 2, "itm": 1},
+                          accum_steps=accum, seed=11,
+                          stack_microbatches=stacked)
+
+    for accum, stacked, n_steps in ((1, False, 9), (2, True, 6),
+                                    (2, False, 6)):
+        a, b = make(accum, stacked), make(accum, stacked)
+        draws = n_steps if (stacked or accum == 1) else n_steps * accum
+        for _ in range(draws):
+            next(a)
+        b.fast_forward(n_steps)
+        assert a.step == b.step, (accum, stacked)
+        for _ in range(5):
+            (na, ba), (nb, bb) = next(a), next(b)
+            assert na == nb, (accum, stacked)
+            assert set(ba) == set(bb)
+            for k in ba:
+                np.testing.assert_array_equal(ba[k], bb[k],
+                                              err_msg=f"{k} {accum}")
+
+
 def test_meta_loader_kv_namespace_and_retirement(corpus, monkeypatch):
     """sync_buckets keys live in a run-unique namespace and the root
     retires keys older than the 256-step rolling window (ADVICE r3: one

@@ -100,3 +100,28 @@ def test_pretrain_resume(corpus, model_config, tmp_path):
     state2, _ = run_driver(corpus, model_config, tmp_path,
                            extra=["--num_train_steps", "8"])
     assert int(state2.step) == 8
+
+
+def test_pretrain_exact_resume(corpus, model_config, tmp_path):
+    """A run killed at step 6 and resumed to 8 is BIT-IDENTICAL to one
+    that ran 8 steps uninterrupted: MetaLoader.fast_forward replays the
+    stream and the per-step rng is fold_in(base, step), a pure function
+    of the step index. Beyond the reference, whose TrainingRestorer
+    restarts the dataloader stream on resume (utils/save.py:164-213
+    restores model/optimizer state only)."""
+    import jax
+    # "preempted" at 6 with the schedule targeting 8 (a bare 6-step run
+    # would train under a DIFFERENT linear-decay slope than the straight
+    # 8-step run — the schedule closes over num_train_steps)
+    run_driver(corpus, model_config, tmp_path / "a",
+               extra=["--num_train_steps", "8", "--stop_after_steps", "6"])
+    s_resumed, _ = run_driver(corpus, model_config, tmp_path / "a",
+                              extra=["--num_train_steps", "8"])
+    s_straight, _ = run_driver(corpus, model_config, tmp_path / "b",
+                               extra=["--num_train_steps", "8"])
+    assert int(s_resumed.step) == int(s_straight.step) == 8
+    la = jax.tree_util.tree_leaves(s_resumed.params)
+    lb = jax.tree_util.tree_leaves(s_straight.params)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

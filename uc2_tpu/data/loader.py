@@ -55,8 +55,12 @@ class TaskLoader:
 
     def _new_epoch(self):
         self._epoch += 1
-        rng = np.random.default_rng((self.seed, self._epoch, hash(self.name)
-                                     % (2 ** 31)))
+        # zlib.crc32, NOT hash(): str hash is randomized per process, which
+        # would make the stream irreproducible across runs and break
+        # deterministic resume (MetaLoader.fast_forward)
+        import zlib
+        name_key = zlib.crc32(self.name.encode()) % (2 ** 31)
+        rng = np.random.default_rng((self.seed, self._epoch, name_key))
         if hasattr(self.dataset, "new_epoch"):
             self.dataset.new_epoch(rng)
         txt_lens, num_bbs = self._effective_dims()
@@ -112,6 +116,34 @@ class TaskLoader:
                    ) -> Dict[str, np.ndarray]:
         bucket_idx, indices = self._next_assignment(bucket)
         return self._assemble(bucket_idx, indices)
+
+    def skip_batch(self, bucket: Optional[int] = None) -> None:
+        """Advance the stream exactly as next_batch would — same draws,
+        same epoch rollovers, same ``_draws`` RNG bookkeeping — without
+        collating the batch (deterministic resume fast-forward)."""
+        self._next_assignment(bucket)
+        self._draws += 1          # _assemble's counter, minus the work
+
+    def skip_stacked(self, n: int, bucket: Optional[int] = None) -> None:
+        """skip_batch's stacked twin: mirrors next_stacked's grouping and
+        deferral logic so the post-skip stream state (pending queue, epoch,
+        _draws) is identical to having consumed the batch."""
+        first_b, first_idx = self._next_assignment(bucket)
+        group = [(first_b, first_idx)]
+        deferred = []
+        epoch0 = self._epoch
+        while len(group) < n:
+            assert self._epoch - epoch0 < 64, (
+                f"bucket {first_b} produced fewer than n={n} same-shape "
+                "batches across 64 epochs (fast-forward)")
+            b, idx = self._next_assignment()
+            if b == first_b and (self.drop_last
+                                 or len(idx) == len(first_idx)):
+                group.append((b, idx))
+            else:
+                deferred.append((b, idx))
+        self._pending = deferred + self._pending
+        self._draws += len(group)
 
     def next_stacked(self, n: int, bucket: Optional[int] = None
                      ) -> Dict[str, np.ndarray]:
@@ -286,6 +318,30 @@ class MetaLoader:
             return name, loader.next_stacked(self.accum_steps)
         self.step += 1
         return name, loader.next_batch()
+
+    def fast_forward(self, n_optimizer_steps: int) -> None:
+        """Replay the stream to where an uninterrupted run would be after
+        ``n_optimizer_steps`` optimizer steps, without assembling batches
+        — deterministic resume (with pretrain.py's step-keyed rng, a
+        restored run is bit-identical to one that never stopped). The
+        reference cannot do this: its TrainingRestorer restarts the
+        dataloader stream from scratch (utils/save.py:164-213 restores
+        model/optimizer only). Single-process only: under sync_buckets
+        the bucket sequence depends on host-0 draws, so multi-host resume
+        keeps stream-restart semantics."""
+        assert not self.sync_buckets, (
+            "fast_forward is single-process only (multi-host bucket sync "
+            "makes the stream depend on host-0 runtime draws)")
+        target = n_optimizer_steps * self.accum_steps
+        while self.step < target:
+            name = self._pick(self.step // self.accum_steps)
+            loader = self.loaders[name]
+            if self.stack:
+                self.step += self.accum_steps
+                loader.skip_stacked(self.accum_steps)
+            else:
+                self.step += 1
+                loader.skip_batch()
 
 
 class PrefetchLoader:
