@@ -32,7 +32,11 @@ fp16 loop) — is scaled to each bucket by relative FLOPs-per-pair at that
 bucket's joint length (constant-utilization assumption), then
 envelope-combined with the identical weights. ``vs_baseline_worst_case``
 keeps the most conservative reading: flat Nb=100 throughput / 600.
-Prints ONE json line.
+
+The JSON also carries the second half of BASELINE.json's metric — measured
+"pretrain steps/sec at uc2-base" (``train_*`` fields; chained-scan, every
+gradient leaf live, split grad/apply — see ``_measure_train``). Skip with
+``--no_train``. Prints ONE json line.
 """
 
 import argparse
@@ -150,11 +154,127 @@ def _measure(model, params, B, Lt, Nb, n_iters=20):
     return B * n_iters / dt
 
 
+def _measure_train(B=128, Lt=LT, Nb=100, M=24, grad_iters=8,
+                   apply_iters=16):
+    """Measured pretrain rate at uc2-base (the second half of
+    BASELINE.json's metric: "pretrain steps/sec at uc2-base").
+
+    Methodology = scripts/tpu_measure.py train_ab + apply, the
+    DCE-proofed chained-scan harness: EVERY gradient / parameter leaf is
+    folded into the scan carry (summing only one leaf lets XLA dead-code
+    the encoder backward-weight pass — round-3 post-mortem, DESIGN.md),
+    and the split-step rate is derived as 1/(1/grad + 1/apply) because a
+    single fused grad+AdamW program hangs this image's remote compiler
+    (BASELINE.md quirk log; real deployments use --split_step or fuse).
+    B=128 is the measured throughput sweet spot (BASELINE.md round-4
+    batch sweep); the shape is the FLAT worst-case bucket (joint L=162,
+    M=24 mlm) — the per-bucket envelope rate (~853 ex/s/chip) is higher,
+    see BASELINE.md. Returns a dict of JSON fields.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from uc2_tpu.config import UC2Config
+    from uc2_tpu.models.pretraining import UC2ForPretraining
+    from uc2_tpu.training import optim as O
+    from uc2_tpu.training.step import make_loss_fn
+
+    rng = np.random.default_rng(0)
+    cfg = UC2Config(dtype="bfloat16")   # default use_pallas_attention
+    model = UC2ForPretraining(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    ids = rng.integers(4, cfg.vocab_size, (B, Lt)).astype(np.int32)
+    ids[:, 0] = 0
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "img_feat": jnp.asarray(
+            rng.standard_normal((B, Nb, 2048)).astype(np.float32)),
+        "img_pos_feat": jnp.asarray(rng.random((B, Nb, 7))
+                                    .astype(np.float32)),
+        "attn_mask": jnp.ones((B, Lt + Nb), jnp.int32),
+        "masked_pos": jnp.asarray(
+            rng.integers(1, Lt, (B, M)).astype(np.int32)),
+        "masked_weight": jnp.ones((B, M), np.float32),
+        "txt_labels": jnp.asarray(
+            rng.integers(4, cfg.vocab_size, (B, M)).astype(np.int32)),
+    }
+    loss_fn = make_loss_fn(model, "mlm")
+
+    @jax.jit
+    def grad_chain(params, batch, key):
+        def body(c, _):
+            b = dict(batch)
+            b["img_feat"] = batch["img_feat"] + c * 1e-30
+            (loss, _), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, b, key)
+            tot = sum(jnp.sum(l.astype(jnp.float32))
+                      for l in jax.tree_util.tree_leaves(grads))
+            return loss + tot * 1e-30 + c * 0.0, None
+        last, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                               length=grad_iters)
+        return last
+
+    float(grad_chain(params, batch, jax.random.PRNGKey(0)))  # compile
+    g_rates = []
+    for t in range(2):
+        t0 = time.perf_counter()
+        float(grad_chain(params, batch, jax.random.PRNGKey(t)))
+        g_rates.append(grad_iters / (time.perf_counter() - t0))
+    g_rate = max(g_rates)
+
+    tx = O.build_optimizer(params, O.constant(4e-5), grad_norm=5.0)
+    opt_state = jax.jit(tx.init)(params)
+
+    @jax.jit
+    def apply_chain(params, opt_state):
+        def body(carry, _):
+            p, s, c = carry
+            grads = jax.tree_util.tree_map(
+                lambda x: jnp.full_like(x, 1e-8) + c * 1e-30, p)
+            updates, s = tx.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            tot = sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(p))
+            return (p, s, tot * 1e-30), None
+        (_, _, c), _ = jax.lax.scan(
+            body, (params, opt_state, jnp.float32(0.0)), None,
+            length=apply_iters)
+        return c
+
+    float(apply_chain(params, opt_state))                    # compile
+    a_rates = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(apply_chain(params, opt_state))
+        a_rates.append(apply_iters / (time.perf_counter() - t0))
+    a_rate = max(a_rates)
+
+    step_rate = 1.0 / (1.0 / g_rate + 1.0 / a_rate)
+    # grad FLOPs model (matmuls, 3x fwd) — same as tpu_measure
+    L = Lt + Nb
+    per_layer = 2 * L * 768 * (4 * 768) + 2 * L * (2 * 768 * 3072) \
+        + 4 * L * L * 768
+    fl = 3 * (12 * per_layer + 2 * Nb * 2048 * 768
+              + 2 * M * 768 * 768 + 2 * M * 768 * 250002)
+    tfs = g_rate * B * fl / 1e12
+    return {
+        "train_grad_steps_per_sec": round(g_rate, 2),
+        "train_apply_per_sec": round(a_rate, 1),
+        "train_steps_per_sec": round(step_rate, 2),
+        "train_ex_per_sec_per_chip": round(step_rate * B, 1),
+        "train_shape": {"task": "mlm", "B": B, "Lt": Lt, "Nb": Nb, "M": M},
+        "train_implied_tflops": round(tfs, 1),
+        "train_pct_of_calibration": round(100 * tfs / CHIP_CALIB_TFLOPS, 1),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nbb_hist", default=DEFAULT_HIST,
                     help="per-image nbb sidecar json (reference format) "
                          "providing the measured bucket weights")
+    ap.add_argument("--no_train", action="store_true",
+                    help="skip the pretrain steps/s measurement (scoring "
+                         "envelope only)")
     args = ap.parse_args()
 
     import jax
@@ -185,6 +305,15 @@ def main():
     bucket_mfu = {k: round(100 * v / CHIP_CALIB_TFLOPS, 1)
                   for k, v in bucket_tfs.items()}
 
+    train_fields = {}
+    if not args.no_train:
+        # second half of BASELINE.json's metric ("pretrain steps/sec at
+        # uc2-base"); failure must not take down the scoring headline
+        try:
+            train_fields = _measure_train()
+        except Exception as e:                      # noqa: BLE001
+            train_fields = {"train_error": f"{type(e).__name__}: {e}"[:200]}
+
     print(json.dumps({
         "metric": "itm_scoring_pairs_per_sec_per_chip",
         "value": round(value, 1),
@@ -203,6 +332,7 @@ def main():
         "bucket_pct_of_calibration": bucket_mfu,
         "calibration_tflops": CHIP_CALIB_TFLOPS,
         "nbb_hist": {"path": os.path.relpath(args.nbb_hist), "n": n_imgs},
+        **train_fields,
     }))
 
 

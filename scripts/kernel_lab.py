@@ -144,7 +144,7 @@ def main():
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--variants", nargs="*", default=list(VARIANTS))
     ap.add_argument("--mode",
-                    choices=["op", "block", "block2", "ffn", "layer"],
+                    choices=["op", "block", "block2", "ffn", "layer", "ce"],
                     default="op")
     args = ap.parse_args()
     if args.mode == "block":
@@ -155,6 +155,8 @@ def main():
         return ffn_race(args)
     if args.mode == "layer":
         return layer_race(args)
+    if args.mode == "ce":
+        return ce_race(args)
 
     B, L = args.batch, args.txt_len + args.num_bb
     n, d = 12, 64
@@ -452,6 +454,83 @@ def layer_race(args):
                   f"maxerr={err:.4f}", flush=True)
         except Exception as e:
             print(f"RESULT {name}: FAILED {type(e).__name__} "
+                  f"{str(e)[:200]}", flush=True)
+
+
+# ---------------------------------------------------------------- CE race
+# The 250k-vocab LM-head CE grad in isolation: the fwd matmul materializes
+# fp32 logits [N, V] (~3 GB at N=3072) and the CE + backward re-touch them
+# — candidate for a fused flash-CE kernel (online logsumexp over vocab
+# tiles, logits never in HBM). Before building it, this race measures how
+# far the XLA chain sits above its pure-matmul roofline (the three
+# N·V·H products: fwd, dX, dW): if the gap is small, XLA already fuses
+# the softmax into the consuming matmuls and a Pallas CE can't pay.
+
+
+def ce_race(args):
+    N, H, V = args.batch * 24, 768, 250002
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((N, H)) * 0.05, jnp.bfloat16)
+    table = jnp.asarray(rng.standard_normal((V, H)) * 0.02, jnp.bfloat16)
+    bias = jnp.zeros((V,), jnp.float32)
+    labels = jnp.asarray(rng.integers(4, V, (N,)).astype(np.int32))
+    w = jnp.ones((N,), jnp.float32)
+
+    def ce_loss(x, table, bias):
+        logits = jnp.dot(x, table.T, preferred_element_type=jnp.float32) \
+            + bias
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        gold = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]
+        return jnp.sum((lse - gold) * w)
+
+    def ce_chunked(x, table, bias):
+        from uc2_tpu.models.heads import chunked_softmax_cross_entropy
+        return jnp.sum(chunked_softmax_cross_entropy(
+            x, table, bias, labels, w, n_chunks=8))
+
+    def grad_arm(loss_fn):
+        def run(x, table, bias):
+            l, g = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+                x, table, bias)
+            return l + sum(jnp.sum(gi.astype(jnp.float32)) * 1e-30
+                           for gi in g)
+        return run
+
+    def matmul_roofline(x, table, bias):
+        # the three products a CE grad must perform, nothing else:
+        # fwd logits, dX = g @ W, dW = g^T @ x  (g re-used as fake grad)
+        logits = jnp.dot(x, table.T, preferred_element_type=jnp.float32)
+        g = (logits * 1e-30 + 1.0).astype(jnp.bfloat16)
+        dx = jnp.dot(g, table, preferred_element_type=jnp.float32)
+        dw = jax.lax.dot_general(
+            g, x, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return jnp.sum(dx) * 1e-30 + jnp.sum(dw) * 1e-30 + jnp.sum(bias)
+
+    racers = [("xlace_grad", grad_arm(ce_loss)),
+              ("chunked8_grad", grad_arm(ce_chunked)),
+              ("matmul_roofline", matmul_roofline)]
+    tf = 3 * 2 * N * V * H / 1e12
+    for name, fn in racers:
+        @jax.jit
+        def chain(x, table, fn=fn):
+            def body(c, _):
+                out = fn(x + c * 1e-30, table, bias)
+                return out * 1e-30 + c * 0.0, None
+            last, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                   length=args.iters)
+            return last
+        try:
+            float(chain(x, table))
+            t0 = time.perf_counter()
+            float(chain(x, table))
+            dt = time.perf_counter() - t0
+            ms = dt / args.iters * 1e3
+            print(f"RESULT ce {name} N={N}: {ms:.2f} ms "
+                  f"[{tf / (ms / 1e3):.0f} TF/s of 3x{2 * N * V * H / 1e12:.2f} TF "
+                  f"matmul work]", flush=True)
+        except Exception as e:
+            print(f"RESULT ce {name}: FAILED {type(e).__name__} "
                   f"{str(e)[:200]}", flush=True)
 
 
