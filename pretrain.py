@@ -220,16 +220,32 @@ def main(opts):
         if restorer.restore_pending:
             state = restorer.restore(state)
             LOGGER.info("restored training at step %d", int(state.step))
-            if not multi:
-                # deterministic resume: replay the task/bucket/mask stream
-                # to the restored step (batches are never assembled); with
-                # the step-keyed rng in the loop below the resumed run is
-                # bit-identical to an uninterrupted one. Beyond the
-                # reference, whose restorer restarts the dataloader stream
-                # (utils/save.py:164-213 restores model/optimizer only).
-                # Multi-host keeps stream-restart semantics (the bucket
-                # sequence depends on host-0 runtime draws).
+            # deterministic resume — the resumed run is bit-identical to
+            # one that never stopped (step-keyed rng in the loop below +
+            # exact stream state). Beyond the reference, whose restorer
+            # restarts the dataloader stream (utils/save.py:164-213
+            # restores model/optimizer only). Preferred path: O(1)
+            # restore of the per-host stream state saved alongside the
+            # checkpoint (works multi-host too — each host restores its
+            # own host-local state and the bucket-sync broadcasts
+            # continue identically). Fallback: single-host replay of the
+            # task/bucket stream (pre-stream-state checkpoints).
+            sd = restorer.restore_stream(int(state.step))
+            if multi and not all(MH.all_gather_object(sd is not None)):
+                # all-or-none: a preemption mid-save can leave SOME hosts
+                # with a paired stream file; mixed restore/restart would
+                # feed hosts from inconsistent epoch positions
+                sd = None
+            if sd is not None:
+                meta.load_state_dict(sd)
+                LOGGER.info("restored input-stream state (meta step %d)",
+                            meta.step)
+            elif not multi:
                 meta.fast_forward(int(state.step))
+            else:
+                LOGGER.warning(
+                    "no paired stream state for step %d — multi-host "
+                    "resume restarts the input stream", int(state.step))
 
         # background thread assembles the next batches AND places them on
         # device while the current step runs (reference PrefetchLoader's
@@ -241,7 +257,11 @@ def main(opts):
         # store — so the prefetch thread cannot desynchronize the main
         # thread's mesh-program order across hosts. Wrapped only AFTER
         # restore/fast_forward so the worker can't consume stream state
-        # the fast-forward needs to replay.
+        # the fast-forward needs to replay. meta_src stays the raw
+        # MetaLoader: checkpoint code reads per-step stream snapshots
+        # from it (snapshot_for), which stay correct even though the
+        # prefetch worker runs ahead of the optimizer step being saved.
+        meta_src = meta
         if pre_sharded:
             from uc2_tpu.data.loader import PrefetchLoader
 
@@ -445,8 +465,11 @@ def main(opts):
                 if is_main or opts.async_ckpt:
                     save_milestone(state, global_step)
             # all hosts: the save gathers process-sharded leaves (zero1)
-            # collectively; only write=is_main touches disk
-            restorer.step(global_step, state)
+            # collectively; only write=is_main touches disk (the stream
+            # state is host-local and written by every host)
+            restorer.step(global_step, state,
+                          stream=meta_src.snapshot_for(
+                              global_step * meta_src.accum_steps))
 
             if opts.stop_after_steps and global_step >= opts.stop_after_steps:
                 # simulated preemption (tests / controlled drains): leave

@@ -284,6 +284,82 @@ def test_meta_loader_fast_forward_equivalence(corpus):
                                               err_msg=f"{k} {accum}")
 
 
+def test_loader_state_dict_roundtrip(corpus):
+    """load_state_dict(state_dict()) lands a FRESH loader in exactly the
+    same stream state — same future batches — including: mid-epoch
+    cursors, epoch-rollover boundaries, pending deferrals, and dataset
+    epoch state (ItmDataset's sampled negatives, which new_epoch rebuilds
+    from its pure per-epoch rng). O(1) counterpart of fast_forward."""
+    txt, img = dbs(corpus)
+
+    def make(accum, stacked):
+        loaders = {
+            "mlm": TaskLoader("mlm", D.MlmDataset(txt, img), BUCKETS,
+                              seed=7),
+            "itm": TaskLoader("itm", D.ItmDataset(txt, img), BUCKETS,
+                              seed=7),
+        }
+        return MetaLoader(loaders, ratios={"mlm": 2, "itm": 1},
+                          accum_steps=accum, seed=11,
+                          stack_microbatches=stacked)
+
+    # n_draws chosen to cross epoch boundaries (12 imgs x 2 txt, B=8)
+    for accum, stacked, n_draws in ((1, False, 3), (1, False, 11),
+                                    (2, True, 5), (2, False, 9)):
+        a = make(accum, stacked)
+        for _ in range(n_draws):
+            next(a)
+        b = make(accum, stacked)
+        b.load_state_dict(a.state_dict())
+        assert b.step == a.step
+        for _ in range(5):
+            (na, ba), (nb, bb) = next(a), next(b)
+            assert na == nb, (accum, stacked, n_draws)
+            for k in ba:
+                np.testing.assert_array_equal(
+                    ba[k], bb[k], err_msg=f"{k} {accum} {stacked}")
+        # round-trip of the ROUND-TRIPPED loader (cursor bookkeeping
+        # survives a second generation)
+        c = make(accum, stacked)
+        c.load_state_dict(b.state_dict())
+        (nb, bb), (nc, bc) = next(b), next(c)
+        assert nb == nc
+        for k in bb:
+            np.testing.assert_array_equal(bb[k], bc[k])
+
+
+def test_meta_loader_snapshots_trail_prefetch(corpus):
+    """snapshot_for(k) returns the state at batch-step k even while a
+    PrefetchLoader worker runs AHEAD of the consumer — the checkpoint
+    reads a trailing snapshot matching the optimizer step it saves, not
+    the worker's current position."""
+    txt, img = dbs(corpus)
+
+    def make():
+        return MetaLoader(
+            {"mlm": TaskLoader("mlm", D.MlmDataset(txt, img), BUCKETS,
+                               seed=3)}, accum_steps=1, seed=5)
+
+    a = make()
+    pf = PrefetchLoader(a, depth=2)
+    drawn = [next(pf) for _ in range(6)]
+    sd = a.snapshot_for(4)
+    assert sd is not None and sd["step"] == 4
+    b = make()
+    b.load_state_dict(sd)
+    # b must reproduce the stream from batch-step 4 on — compare with the
+    # already-drawn items 5..6 and fresh draws beyond them
+    (n5, b5) = drawn[4]
+    (nb5, bb5) = next(b)
+    assert n5 == nb5
+    for k in b5:
+        np.testing.assert_array_equal(b5[k], bb5[k])
+    (n6, b6), (nb6, bb6) = drawn[5], next(b)
+    assert n6 == nb6
+    for k in b6:
+        np.testing.assert_array_equal(b6[k], bb6[k])
+
+
 def test_meta_loader_kv_namespace_and_retirement(corpus, monkeypatch):
     """sync_buckets keys live in a run-unique namespace and the root
     retires keys older than the 256-step rolling window (ADVICE r3: one

@@ -104,24 +104,44 @@ def test_pretrain_resume(corpus, model_config, tmp_path):
 
 def test_pretrain_exact_resume(corpus, model_config, tmp_path):
     """A run killed at step 6 and resumed to 8 is BIT-IDENTICAL to one
-    that ran 8 steps uninterrupted: MetaLoader.fast_forward replays the
-    stream and the per-step rng is fold_in(base, step), a pure function
-    of the step index. Beyond the reference, whose TrainingRestorer
-    restarts the dataloader stream on resume (utils/save.py:164-213
-    restores model/optimizer state only)."""
+    that ran 8 steps uninterrupted, through BOTH resume paths: the O(1)
+    stream-state restore (restore_stream → MetaLoader.load_state_dict,
+    saved alongside restore.ckpt) and the fast_forward replay fallback
+    (stream files deleted, as for a pre-stream-state checkpoint). The
+    per-step rng is fold_in(base, step), a pure function of the step
+    index. Beyond the reference, whose TrainingRestorer restarts the
+    dataloader stream on resume (utils/save.py:164-213 restores
+    model/optimizer state only)."""
+    import glob
+    import shutil
+
     import jax
     # "preempted" at 6 with the schedule targeting 8 (a bare 6-step run
     # would train under a DIFFERENT linear-decay slope than the straight
     # 8-step run — the schedule closes over num_train_steps)
     run_driver(corpus, model_config, tmp_path / "a",
                extra=["--num_train_steps", "8", "--stop_after_steps", "6"])
+    # paired stream state was written at the step-6 save
+    stream_files = glob.glob(str(tmp_path / "a" / "out"
+                                 / "restore_stream_p*.json"))
+    assert stream_files, "no stream-state file written at the save point"
+    # variant c: same interrupted run, stream files removed → replay path
+    shutil.copytree(tmp_path / "a", tmp_path / "c")
+    for f in glob.glob(str(tmp_path / "c" / "out"
+                           / "restore_stream_*.json")):
+        os.remove(f)
     s_resumed, _ = run_driver(corpus, model_config, tmp_path / "a",
                               extra=["--num_train_steps", "8"])
+    s_replay, _ = run_driver(corpus, model_config, tmp_path / "c",
+                             extra=["--num_train_steps", "8"])
     s_straight, _ = run_driver(corpus, model_config, tmp_path / "b",
                                extra=["--num_train_steps", "8"])
-    assert int(s_resumed.step) == int(s_straight.step) == 8
+    assert int(s_resumed.step) == int(s_replay.step) \
+        == int(s_straight.step) == 8
     la = jax.tree_util.tree_leaves(s_resumed.params)
+    lc = jax.tree_util.tree_leaves(s_replay.params)
     lb = jax.tree_util.tree_leaves(s_straight.params)
-    assert len(la) == len(lb)
-    for x, y in zip(la, lb):
+    assert len(la) == len(lb) == len(lc)
+    for x, c, y in zip(la, lc, lb):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(y))

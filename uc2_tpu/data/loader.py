@@ -45,6 +45,8 @@ class TaskLoader:
         self._epoch = -1
         self._iter = None
         self._draws = 0          # per-epoch batch counter (RNG keying)
+        self._iter_taken = 0     # draws taken from the CURRENT epoch's
+                                 # iterator (state_dict replay cursor)
         self._pending: List[Tuple[int, List[int]]] = []
 
     def _effective_dims(self) -> Tuple[List[int], List[int]]:
@@ -69,6 +71,7 @@ class TaskLoader:
                                 shuffle=self.shuffle,
                                 drop_last=self.drop_last)
         self._iter = batcher.epoch(self._epoch)
+        self._iter_taken = 0
 
     def _draw(self) -> Tuple[int, List[int]]:
         if self._pending:
@@ -78,7 +81,9 @@ class TaskLoader:
                 self._new_epoch()
                 self._draws = 0
             try:
-                return next(self._iter)
+                out = next(self._iter)
+                self._iter_taken += 1
+                return out
             except StopIteration:
                 self._iter = None
 
@@ -144,6 +149,48 @@ class TaskLoader:
                 deferred.append((b, idx))
         self._pending = deferred + self._pending
         self._draws += len(group)
+
+    def state_dict(self) -> Dict[str, Any]:
+        """Serializable stream state: O(1)-restorable via
+        :meth:`load_state_dict` (vs. :meth:`skip_batch` replay, which is
+        O(consumed steps)). The per-epoch stream is a pure function of
+        (seed, epoch, dataset) — see ``_new_epoch``'s crc32 keying — so
+        the state is just the epoch number, a cursor into its batch
+        iterator, the assembly-rng counter, and the deferred-draw queue."""
+        return {
+            "epoch": self._epoch,
+            "draws": self._draws,
+            "iter_taken": None if self._iter is None else self._iter_taken,
+            "pending": [[int(b), [int(i) for i in idx]]
+                        for b, idx in self._pending],
+        }
+
+    def load_state_dict(self, sd: Dict[str, Any]) -> None:
+        """Restore exactly the stream state captured by state_dict:
+        replays ``_new_epoch`` for the stored epoch (dataset.new_epoch is
+        a pure function of its freshly-seeded rng, so dataset epoch state
+        — e.g. ItmDataset's sampled negatives, which pending draws index
+        into — is reproduced bit-exactly), then advances the epoch's
+        batch iterator to the stored cursor."""
+        self._pending = []
+        self._iter = None
+        epoch = int(sd["epoch"])
+        if epoch >= 0:
+            self._epoch = epoch - 1
+            self._new_epoch()                      # replay epoch `epoch`
+            if sd["iter_taken"] is None:
+                self._iter = None                  # exhausted; dataset
+                                                   # epoch state retained
+            else:
+                for _ in range(int(sd["iter_taken"])):
+                    next(self._iter)               # deterministic cursor
+                self._iter_taken = int(sd["iter_taken"])
+        else:
+            self._epoch = -1
+            self._iter_taken = 0
+        self._draws = int(sd["draws"])
+        self._pending = [(int(b), [int(i) for i in idx])
+                         for b, idx in sd["pending"]]
 
     def next_stacked(self, n: int, bucket: Optional[int] = None
                      ) -> Dict[str, np.ndarray]:
@@ -270,6 +317,16 @@ class MetaLoader:
         # replaces the reference's any_broadcast, data/loader.py:41-45)
         self.sync_buckets = sync_buckets
         self.step = 0
+        # ring of recent stream states keyed by meta-step, maintained by
+        # the consuming thread (possibly a PrefetchLoader worker) and read
+        # by the main thread at checkpoint time: the snapshot keyed K is
+        # the state from which the draw for meta-step K proceeds, so
+        # restoring it resumes the stream exactly where an uninterrupted
+        # run would be after K batch-steps — even though the prefetch
+        # worker runs AHEAD of the optimizer step being checkpointed.
+        self._snap_lock = threading.Lock()
+        self._snapshots: Dict[int, Dict[str, Any]] = {}
+        self._snap_keep = 128
         if sync_buckets:
             # run-unique KV namespace, agreed by a one-off broadcast at
             # construction (main thread, before any prefetch): without it a
@@ -279,9 +336,46 @@ class MetaLoader:
             from uc2_tpu.parallel import multihost as MH
             self.kv_ns = MH.broadcast_object(
                 uuid.uuid4().hex[:12] if MH.process_index() == 0 else None)
+        self._snapshot()
 
     def __iter__(self):
         return self
+
+    # ------------------------------------------------------- stream state
+    def state_dict(self) -> Dict[str, Any]:
+        """Current stream state (only meaningful from the consuming
+        thread; checkpoint code should use :meth:`snapshot_for`)."""
+        return {"step": self.step,
+                "loaders": {n: ld.state_dict()
+                            for n, ld in self.loaders.items()}}
+
+    def load_state_dict(self, sd: Dict[str, Any]) -> None:
+        """O(1) exact resume — works single- AND multi-host (each host
+        restores its own host-local state; under sync_buckets host 0's
+        restored stream reproduces the same bucket broadcasts an
+        uninterrupted run would have made). Supersedes
+        :meth:`fast_forward` when a saved stream state exists."""
+        for n, ld in self.loaders.items():
+            ld.load_state_dict(sd["loaders"][n])
+        self.step = int(sd["step"])
+        with self._snap_lock:
+            self._snapshots.clear()
+        self._snapshot()
+
+    def _snapshot(self) -> None:
+        sd = self.state_dict()      # fresh lists — safe to retain
+        with self._snap_lock:
+            self._snapshots[self.step] = sd
+            while len(self._snapshots) > self._snap_keep:
+                del self._snapshots[min(self._snapshots)]
+
+    def snapshot_for(self, meta_step: int) -> Optional[Dict[str, Any]]:
+        """Stream state at the start of batch-step ``meta_step`` (= after
+        ``meta_step / accum_steps`` optimizer steps), captured when the
+        consuming thread passed that point. None if it hasn't yet, or if
+        the ring (``_snap_keep`` entries) has already dropped it."""
+        with self._snap_lock:
+            return self._snapshots.get(meta_step)
 
     def _synced_batch(self, loader: TaskLoader,
                       step: int) -> Dict[str, np.ndarray]:
@@ -312,12 +406,15 @@ class MetaLoader:
         if self.sync_buckets:
             step = self.step
             self.step += self.accum_steps if self.stack else 1
-            return name, self._synced_batch(loader, step)
-        if self.stack:
+            batch = self._synced_batch(loader, step)
+        elif self.stack:
             self.step += self.accum_steps
-            return name, loader.next_stacked(self.accum_steps)
-        self.step += 1
-        return name, loader.next_batch()
+            batch = loader.next_stacked(self.accum_steps)
+        else:
+            self.step += 1
+            batch = loader.next_batch()
+        self._snapshot()
+        return name, batch
 
     def fast_forward(self, n_optimizer_steps: int) -> None:
         """Replay the stream to where an uninterrupted run would be after
@@ -342,6 +439,7 @@ class MetaLoader:
             else:
                 self.step += 1
                 loader.skip_batch()
+        self._snapshot()
 
 
 class PrefetchLoader:

@@ -132,6 +132,15 @@ class TrainingRestorer:
         self.restore_path = os.path.join(output_dir, "restore.ckpt")
         self.backup_path = os.path.join(output_dir, "restore_backup.ckpt")
         self.hps_path = os.path.join(output_dir, "restore_hps.json")
+        # per-PROCESS input-stream state (MetaLoader.state_dict): written
+        # by EVERY host regardless of self.write — the stream is
+        # host-local, unlike the replicated model state. Same two-file
+        # rotation; the stored global_step pairs it with its model ckpt.
+        proc = jax.process_index()
+        self.stream_path = os.path.join(
+            output_dir, f"restore_stream_p{proc}.json")
+        self.stream_backup = os.path.join(
+            output_dir, f"restore_stream_backup_p{proc}.json")
         self.save_steps = save_steps
         self.write = write
         self.hps = {k: v for k, v in hps.items()}
@@ -149,11 +158,25 @@ class TrainingRestorer:
                     json.dump(self.hps, f, default=str)
             self.restore_pending = False
 
-    def step(self, global_step: int, state) -> None:
+    def step(self, global_step: int, state, stream: Any = None) -> None:
         if global_step % self.save_steps == 0:
-            self.save(state)
+            self.save(state, global_step=global_step, stream=stream)
 
-    def save(self, state):
+    def save(self, state, global_step: Optional[int] = None,
+             stream: Any = None):
+        # stream FIRST: a preemption between the two writes then leaves a
+        # stream file whose global_step doesn't match the model ckpt, and
+        # restore_stream() detects the mismatch and falls back to
+        # stream-restart semantics (never a silent desync)
+        if stream is not None and global_step is not None:
+            payload = json.dumps({"global_step": int(global_step),
+                                  "meta": stream})
+            tmp = self.stream_path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(payload)
+            if os.path.exists(self.stream_path):
+                os.replace(self.stream_path, self.stream_backup)
+            os.replace(tmp, self.stream_path)
         host_state = _to_host(state)      # collective when sharded
         if not self.write:
             return
@@ -177,3 +200,21 @@ class TrainingRestorer:
                     return x
                 return jax.tree_util.tree_map(put, tree, target)
         raise FileNotFoundError("no restore checkpoint found")
+
+    def restore_stream(self, expected_step: int) -> Optional[Any]:
+        """This host's input-stream state (MetaLoader.state_dict) paired
+        with the model checkpoint restored at ``expected_step``; None if
+        absent or from a different step (pre-stream-state checkpoints,
+        or a preemption between the stream and model writes) — callers
+        then fall back to fast_forward / stream-restart."""
+        for path in (self.stream_path, self.stream_backup):
+            if not os.path.exists(path):
+                continue
+            try:
+                with open(path) as f:
+                    payload = json.load(f)
+            except Exception:
+                continue
+            if int(payload.get("global_step", -1)) == int(expected_step):
+                return payload["meta"]
+        return None
