@@ -533,6 +533,11 @@ def validate(model, state, val, buckets, valid_ids, opts, mesh):
         elif "n_ex" in agg and agg["n_ex"]:
             log["loss"] = agg["loss"] / agg["n_ex"]
             log["acc"] = agg.get("n_correct", 0) / agg["n_ex"]
+        # mrm-nce feature-space diagnostics (reference pretrain.py:901-943
+        # logs mean L2 distance + cosine similarity pred↔gold feature)
+        if agg.get("n_feat") and "l2_sum" in agg:
+            log["l2"] = agg["l2_sum"] / agg["n_feat"]
+            log["cos"] = agg["cos_sum"] / agg["n_feat"]
         # OT alignment diagnostics (reference pretrain.py:1003-1051 logs
         # mean OT distance over positive / negative ITM pairs)
         if agg.get("n_pos"):

@@ -42,6 +42,21 @@ def test_mrm_nce_dataset_and_step(corpus):
     params = model.init_params(jax.random.PRNGKey(0))
     loss_sum, n, correct = model.forward_mrm_nce(params, batch)
     assert np.isfinite(float(loss_sum)) and float(n) >= 8
+    # with_stats: reference validate_mrm_nce's extra scalars
+    # (pretrain.py:901-943) — mean L2 and cosine pred↔gold feature
+    s2, n2, c2, l2, cos = model.forward_mrm_nce(params, batch,
+                                                with_stats=True)
+    np.testing.assert_allclose(float(s2), float(loss_sum), rtol=1e-6)
+    assert np.isfinite(float(l2)) and float(l2) > 0
+    assert -float(n2) <= float(cos) <= float(n2)   # per-slot cos in [-1,1]
+
+    from uc2_tpu.training.step import make_eval_step
+    ev = jax.jit(make_eval_step(model, "mrm-nce"))
+    out = ev(params, batch)
+    assert {"loss", "n_correct", "n_feat", "l2_sum", "cos_sum"} \
+        <= set(out)
+    np.testing.assert_allclose(float(out["loss"]), float(loss_sum),
+                               rtol=1e-5)
 
     tx = O.build_optimizer(params, O.constant(1e-3))
     state = create_train_state(params, tx)

@@ -218,13 +218,15 @@ class UC2ForPretraining:
 
     # -------------------------------------------------------------- MRM-NCE
     def forward_mrm_nce(self, params, batch, deterministic=True, rngs=None,
-                        compute_loss=True):
+                        compute_loss=True, with_stats=False):
         """Masked-region contrastive objective (completes the reference's
         unimplemented mrm-nce, model/model.py:1237): project masked-slot
         hiddens to feature space; CE over [own target | other in-batch
         targets | sampled negative features] by dot-product similarity.
 
-        Returns (loss_sum, n_slots, n_correct).
+        Returns (loss_sum, n_slots, n_correct); with ``with_stats`` also
+        the per-slot L2-distance and cosine-similarity sums the
+        reference's validate_mrm_nce logs (pretrain.py:901-943).
         """
         seq, _ = self._encode(params, batch, deterministic, rngs,
                               img_masks=batch["img_masks"])
@@ -249,6 +251,13 @@ class UC2ForPretraining:
             return logits
         loss = H.cross_entropy_with_logits(logits, labels, w)
         correct = jnp.sum((jnp.argmax(logits, -1) == labels) * w)
+        if with_stats:
+            l2 = jnp.sqrt(jnp.sum(jnp.square(pred - targets), -1) + 1e-12)
+            cos = (jnp.einsum("nd,nd->n", pred, targets)
+                   / (jnp.linalg.norm(pred, axis=-1)
+                      * jnp.linalg.norm(targets, axis=-1) + 1e-12))
+            return (jnp.sum(loss), jnp.sum(w), correct,
+                    jnp.sum(l2 * w), jnp.sum(cos * w))
         return jnp.sum(loss), jnp.sum(w), correct
 
     # ----------------------------------------------------------------- MRC

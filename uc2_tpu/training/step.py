@@ -272,8 +272,12 @@ def make_eval_step(model: UC2ForPretraining, task: str,
             loss = jnp.sum(jnp.square(pred - batch["feat_targets"]) * w)
             return {"loss": loss, "n_feat": jnp.sum(batch["masked_weight"])}
         if base == "mrm-nce":
-            s, n, correct = model.forward_mrm_nce(params, batch, True, None)
-            return {"loss": s, "n_correct": correct, "n_feat": n}
+            # acc + per-slot L2/cosine, matching the reference's
+            # validate_mrm_nce scalars (pretrain.py:901-943)
+            s, n, correct, l2, cos = model.forward_mrm_nce(
+                params, batch, True, None, with_stats=True)
+            return {"loss": s, "n_correct": correct, "n_feat": n,
+                    "l2_sum": l2, "cos_sum": cos}
         if base in ("mrc", "mrc-kl"):
             logits = model.forward_mrc(params, batch, kl="kl" in base,
                                        deterministic=True, rngs=None,
