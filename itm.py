@@ -24,7 +24,7 @@ def main(opts):
     import jax
     import jax.numpy as jnp
     from uc2_tpu.data.collate import BucketSpec
-    from uc2_tpu.data.db import DetectFeatDb, TxtTokDb
+    from uc2_tpu.data.db import DetectFeatDb, RoutingImageDb, TxtTokDb
     from uc2_tpu.data.loader import TaskLoader
     from uc2_tpu.data import datasets as D
     from uc2_tpu.evalu.retrieval import (full_retrieval_eval,
@@ -52,6 +52,10 @@ def main(opts):
 
     cfg = UC2Config.from_json_file(opts.model_config).replace(
         dtype=opts.dtype)
+    if opts.dropout is not None:
+        # reference set_dropout retunes EVERY nn.Dropout (utils/misc.py:54-60)
+        cfg = cfg.replace(hidden_dropout_prob=opts.dropout,
+                          attention_probs_dropout_prob=opts.dropout)
     model = UC2ForImageTextRetrieval(cfg, margin=opts.margin)
     # --quant int8: serving quantization for eval/validation scoring only
     # (reference serves fp16 scoring, itm.py:516-538; training stays in
@@ -70,15 +74,31 @@ def main(opts):
         # rank head from pretrained ITM head (reference model/itm.py:23-26)
         params = convert.init_rank_from_itm(params)
 
+    def open_img_db(spec):
+        """One path → DetectFeatDb; JSON 2-list '["train_db","val_db"]' →
+        split-spanning RoutingImageDb (the reference's COCO-CN case: text
+        dbs reference images in either train2014 or val2014 feature dbs,
+        itm.py:140-147 + data/itm.py:363-506)."""
+        if isinstance(spec, str) and spec.lstrip().startswith("["):
+            spec = json.loads(spec)
+        if isinstance(spec, (list, tuple)):
+            assert len(spec) == 2, "routing expects [train_db, val_db]"
+            mk = lambda p: DetectFeatDb(p, opts.conf_th, opts.max_bb,  # noqa: E731
+                                        opts.min_bb, opts.num_bb)
+            return RoutingImageDb({"train2014": mk(spec[0]),
+                                   "val2014": mk(spec[1])})
+        return DetectFeatDb(spec, opts.conf_th, opts.max_bb,
+                            opts.min_bb, opts.num_bb)
+
     # ---- data: train texts shard per host (reference data/data.py:201-203)
     txt_db = TxtTokDb(opts.train_txt_db, max_txt_len=opts.max_txt_len,
                       shard=(MH.process_index(), MH.process_count())
                       if multi else None)
-    img_db = DetectFeatDb(opts.train_img_db, opts.conf_th, opts.max_bb,
-                          opts.min_bb, opts.num_bb)
+    img_db = open_img_db(opts.train_img_db)
     if opts.hard_neg_size > 0:
         dataset = D.ItmRankHardNegDataset(txt_db, img_db,
-                                          opts.negative_size)
+                                          opts.negative_size,
+                                          opts.hard_neg_size)
     else:
         dataset = D.ItmRankDataset(txt_db, img_db, opts.negative_size)
     sample_size = dataset.sample_size
@@ -93,9 +113,7 @@ def main(opts):
 
     val_txt_db = TxtTokDb(opts.val_txt_db, max_txt_len=opts.max_txt_len) \
         if opts.val_txt_db else None
-    val_img_db = (DetectFeatDb(opts.val_img_db, opts.conf_th, opts.max_bb,
-                               opts.min_bb, opts.num_bb)
-                  if opts.val_img_db else None)
+    val_img_db = open_img_db(opts.val_img_db) if opts.val_img_db else None
 
     # ---- optimizer: optionally separate XLM-R lr (itm.py:216-219)
     lr_fn = O.get_lr_schedule(opts.decay, opts.learning_rate,
@@ -106,10 +124,12 @@ def main(opts):
         tx = O.build_xlmr_optimizer(params, lr_fn, xlmr_fn,
                                     opts.weight_decay, tuple(opts.betas),
                                     grad_norm=opts.grad_norm,
-                                    load_layer=opts.load_layer)
+                                    load_layer=opts.load_layer,
+                                    optim=opts.optim)
     else:
         tx = O.build_optimizer(params, lr_fn, opts.weight_decay,
-                               tuple(opts.betas), grad_norm=opts.grad_norm)
+                               tuple(opts.betas), grad_norm=opts.grad_norm,
+                               optim=opts.optim)
 
     mesh = M.make_mesh(n_model=opts.n_model)
     sharded = M.shard_params(mesh, params)
@@ -197,6 +217,16 @@ def main(opts):
         meter = RunningMeter("rank_loss")
         rng_key = jax.random.PRNGKey(opts.seed + 1)
         global_step = int(state.step)
+        if opts.hard_neg_size > 0 and opts.hard_neg_steps:
+            # reference mines once BEFORE training starts (itm.py:233-235)
+            # so hard slots never run on the random fallback
+            LOGGER.info("initial hard-negative mining")
+            dataset.reload_hard_negs(mine_hard_negatives(
+                model, host_params(state), txt_db, img_db,
+                opts.max_txt_len + 2, opts.max_bb,
+                hard_neg_size=opts.hard_neg_pool_size,
+                batch_size=opts.eval_batch_size,
+                out_path=os.path.join(opts.output_dir, "hard_negs_0.json")))
         start = time.time()
         n_ex = 0
         accum = max(1, opts.gradient_accumulation_steps)
@@ -253,7 +283,7 @@ def main(opts):
                 hard = mine_hard_negatives(
                     model, host_params(state), txt_db, img_db,
                     opts.max_txt_len + 2, opts.max_bb,
-                    hard_neg_size=opts.hard_neg_size,
+                    hard_neg_size=opts.hard_neg_pool_size,
                     batch_size=opts.eval_batch_size,
                     out_path=os.path.join(opts.output_dir,
                                           f"hard_negs_{global_step}.json"))
@@ -265,8 +295,7 @@ def main(opts):
         results = {}
         for spec in opts.test_datasets or []:
             tdb = TxtTokDb(spec["db"], max_txt_len=opts.max_txt_len)
-            idb = DetectFeatDb(spec["img"], opts.conf_th, opts.max_bb,
-                               opts.min_bb, opts.num_bb)
+            idb = open_img_db(spec["img"])
             log = full_retrieval_eval(eval_model, host_params(state), tdb,
                                       idb, opts.max_txt_len + 2, opts.max_bb,
                                       batch_size=opts.eval_batch_size)
@@ -302,8 +331,14 @@ def build_parser():
     p.add_argument("--num_bb", type=int, default=36)
     p.add_argument("--margin", type=float, default=0.2)
     p.add_argument("--negative_size", type=int, default=1)
-    p.add_argument("--hard_neg_size", type=int, default=0)
-    p.add_argument("--hard_neg_steps", type=int, default=0)
+    p.add_argument("--hard_neg_size", type=int, default=0,
+                   help="hard negatives per positive (reference "
+                        "--hard_neg_size, itm.py:578)")
+    p.add_argument("--hard_neg_pool_size", type=int, default=20,
+                   help="mined pool size each hard slot samples from "
+                        "(reference itm.py:583, mining at :233-235)")
+    p.add_argument("--hard_neg_steps", type=int, default=0,
+                   help="mine every N steps (reference --steps_per_hard_neg)")
     p.add_argument("--train_batch_size", type=int, default=40,
                    help="examples (groups × sample_size) per step")
     p.add_argument("--eval_batch_size", type=int, default=64)
@@ -318,6 +353,12 @@ def build_parser():
     p.add_argument("--xlmr_lr", type=float, default=1e-7)
     p.add_argument("--betas", type=float, nargs=2, default=[0.9, 0.98])
     p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--optim", type=str, default="adamw",
+                   choices=["adam", "adamax", "adamw"],
+                   help="reference optim/misc.py:21-29")
+    p.add_argument("--dropout", type=float, default=None,
+                   help="override every dropout prob (reference "
+                        "set_dropout, utils/misc.py:54-60)")
     p.add_argument("--grad_norm", type=float, default=2.0)
     p.add_argument("--decay", default="linear")
     p.add_argument("--warmup_steps", type=int, default=5000)

@@ -76,7 +76,16 @@ def build_datasets(opts, which: str = "train", shard=None):
                         LOGGER.warning(
                             "LabelVocab using hash-fallback token ids (no "
                             "XLM-R tokenizer/assets in this environment)")
+                # --no_multilingual_vmlm: reference only builds the
+                # per-language list when the flag is on (pretrain.py:301-311)
+                vm_lang = lang if opts.multilingual_vmlm else "en"
                 if task == "mlm":
+                    ds = D.MlmDataset(txt_db, img_db, opts.mlm_prob)
+                elif task in ("tlm", "tlm-ni") and not opts.co_masking:
+                    # reference build_tlm_dataset without co_masking falls
+                    # back to plain MLM over the bilingual record — for
+                    # tlm-ni too, the train branch ignores text_only
+                    # (pretrain.py:142-144)
                     ds = D.MlmDataset(txt_db, img_db, opts.mlm_prob)
                 elif task == "tlm":
                     ds = D.TlmDataset(txt_db, img_db, opts.comasking_mode,
@@ -87,10 +96,10 @@ def build_datasets(opts, which: str = "train", shard=None):
                                       mask_prob=opts.mlm_prob)
                 elif task == "vmlm":
                     ds = D.VmlmDataset(txt_db, img_db, opts.mrm_prob,
-                                       label_vocab, lang)
+                                       label_vocab, vm_lang)
                 elif task == "mmxlm":
                     ds = D.MmxlmDataset(txt_db, img_db, opts.mrm_prob,
-                                        label_vocab, lang)
+                                        label_vocab, vm_lang)
                 elif task in ("vmlm-soft", "mmxlm-soft"):
                     sl = SoftLabelDb(sl_dbs[i]) if sl_dbs else None
                     cls_ = (D.VmlmSoftDataset if task == "vmlm-soft"
@@ -105,7 +114,9 @@ def build_datasets(opts, which: str = "train", shard=None):
                 elif task.startswith("mrc"):
                     ds = D.MrcDataset(txt_db, img_db, opts.mrm_prob)
                 elif task.startswith("itm"):
-                    ds = D.ItmDataset(txt_db, img_db, opts.itm_neg_prob)
+                    cls_ = (D.ItmHardNegDataset if opts.itm_hard_neg
+                            else D.ItmDataset)
+                    ds = cls_(txt_db, img_db, opts.itm_neg_prob)
                 else:
                     raise ValueError(f"undefined task {task}")
                 out[key] = {"dataset": ds, "ratio": ratio, "task": task}
@@ -142,7 +153,13 @@ def main(opts):
     # ---- model
     cfg = UC2Config.from_json_file(opts.model_config).replace(
         dtype=opts.dtype)
+    if opts.dropout is not None:
+        # reference set_dropout retunes EVERY nn.Dropout (utils/misc.py:54-60,
+        # applied at pretrain.py:458)
+        cfg = cfg.replace(hidden_dropout_prob=opts.dropout,
+                          attention_probs_dropout_prob=opts.dropout)
     model = UC2ForPretraining(cfg, ot_pos_only=opts.ot_pos_only,
+                              nce_temp=opts.nce_temp,
                               lm_ce_chunks=opts.lm_ce_chunks)
     params = model.init_params(jax.random.PRNGKey(opts.seed))
     if opts.checkpoint:
@@ -183,7 +200,8 @@ def main(opts):
     lr_fn = O.get_lr_schedule(opts.decay, opts.learning_rate,
                               opts.warmup_steps, opts.num_train_steps)
     tx = O.build_optimizer(params, lr_fn, opts.weight_decay,
-                           tuple(opts.betas), grad_norm=opts.grad_norm)
+                           tuple(opts.betas), grad_norm=opts.grad_norm,
+                           optim=opts.optim)
     sharded_params = M.shard_params(mesh, params)
     del params
     valid_ids = label_vocab.valid_ids if label_vocab is not None else None
@@ -598,12 +616,36 @@ def build_parser():
     p.add_argument("--mrm_prob", type=float, default=0.15)
     p.add_argument("--itm_neg_prob", type=float, default=0.5)
     p.add_argument("--nce_neg_size", type=int, default=128)
+    p.add_argument("--nce_temp", type=float, default=1.0,
+                   help="mrm-nce softmax temperature "
+                        "(reference pretrain.py:1076)")
     p.add_argument("--label_classes", type=int, default=1601,
                    help="detector label vocabulary size (tests may reduce)")
     p.add_argument("--itm_ot_lambda", type=float, default=0.0)
     p.add_argument("--ot_pos_only", action="store_true")
     p.add_argument("--comasking_mode", type=str, default="random",
-                   choices=["random", "full", "mix"])
+                   choices=["random", "full", "mix"],
+                   help="tlm co-masking mode (reference --co_masking_mode; "
+                        "published config uses 'mix', uc2_pretrain.json:40)")
+    p.add_argument("--co_masking", dest="co_masking", action="store_true",
+                   default=True,
+                   help="co-mask aligned words for tlm (reference "
+                        "--co_masking; its published config sets true)")
+    p.add_argument("--no_co_masking", dest="co_masking",
+                   action="store_false",
+                   help="tlm/tlm-ni fall back to plain MLM masking "
+                        "(reference build_tlm_dataset else-branch)")
+    p.add_argument("--itm_hard_neg", action="store_true",
+                   help="cross-lingual hard-negative ITM sampling "
+                        "(reference pretrain.py:261-272)")
+    p.add_argument("--multilingual_vmlm", dest="multilingual_vmlm",
+                   action="store_true", default=True,
+                   help="vmlm targets use the dataset language's label "
+                        "list (reference pretrain.py:301-311; published "
+                        "config sets true)")
+    p.add_argument("--no_multilingual_vmlm", dest="multilingual_vmlm",
+                   action="store_false",
+                   help="vmlm targets always use the EN label list")
     # training
     p.add_argument("--train_batch_size", type=int, default=10240,
                    help="token budget per bucket batch")
@@ -611,6 +653,12 @@ def build_parser():
     p.add_argument("--learning_rate", type=float, default=4e-5)
     p.add_argument("--betas", type=float, nargs=2, default=[0.9, 0.98])
     p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--optim", type=str, default="adamw",
+                   choices=["adam", "adamax", "adamw"],
+                   help="reference optim/misc.py:21-29")
+    p.add_argument("--dropout", type=float, default=None,
+                   help="override every dropout prob (reference "
+                        "set_dropout, utils/misc.py:54-60)")
     p.add_argument("--grad_norm", type=float, default=5.0)
     p.add_argument("--decay", type=str, default="linear")
     p.add_argument("--warmup_steps", type=int, default=10000)

@@ -62,6 +62,8 @@ def split_corpus(tmp_path_factory):
         "train2014": DetectFeatDb(a["img_db"], 0.2, 10, 4, 10),
         "val2014": DetectFeatDb(b["img_db"], 0.2, 10, 4, 10),
     })
+    txt_db.paths = {"txt": str(merged), "img_a": a["img_db"],
+                    "img_b": b["img_db"]}
     return txt_db, img_db
 
 
@@ -90,6 +92,40 @@ def test_itm_rank_batches_span_both_dbs(split_corpus):
         assert np.isfinite(batch["img_feat"]).all()
         feats_seen.add(batch["img_feat"].shape[1:])
     assert feats_seen  # batches assembled across the routed gallery
+
+
+def test_itm_driver_routed_img_dbs(split_corpus, tmp_path):
+    """The --mscoco_cn case through the real driver: --train_img_db as a
+    JSON [train2014_db, val2014_db] pair builds a RoutingImageDb
+    (reference itm.py:140-147 selects the COCO-CN dataset variants when
+    'itm_coco_zh' is in the txt path)."""
+    import itm
+    paths = split_corpus[0].paths
+    routed = json.dumps([paths["img_a"], paths["img_b"]])
+    cfg_path = tmp_path / "tiny.json"
+    cfg_path.write_text(json.dumps({
+        "vocab_size": 512, "hidden_size": 32, "num_hidden_layers": 1,
+        "num_attention_heads": 2, "intermediate_size": 64,
+        "max_position_embeddings": 64, "img_dim": 16, "img_label_dim": 11,
+        "use_pallas_attention": False}))
+    argv = [
+        "--model_config", str(cfg_path),
+        "--output_dir", str(tmp_path / "out"),
+        "--train_txt_db", paths["txt"], "--train_img_db", routed,
+        "--val_txt_db", paths["txt"], "--val_img_db", routed,
+        "--test_datasets", json.dumps(
+            [{"name": "cn", "db": paths["txt"], "img": json.loads(routed)}]),
+        "--max_txt_len", "16", "--max_bb", "10", "--min_bb", "4",
+        "--train_batch_size", "12", "--eval_batch_size", "8",
+        "--num_train_steps", "2", "--warmup_steps", "1",
+        "--valid_steps", "0", "--eval_txt_limit", "4",
+        "--save_steps", "2", "--log_steps", "1",
+        "--dtype", "float32", "--seed", "0",
+    ]
+    opts = itm.parse_with_config(itm.build_parser(), argv)
+    state, results = itm.main(opts)
+    assert int(state.step) == 2
+    assert "cn" in results and 0.0 <= results["cn"]["txt_r1"] <= 1.0
 
 
 def test_full_eval_over_routed_gallery(split_corpus):

@@ -218,6 +218,45 @@ def test_hardneg_itm(paired_corpus):
                for b in batches)
 
 
+def test_rank_hardneg_group_semantics(corpus):
+    """Reference ItmRankDatasetHardNeg (data/itm.py:561-613): hard negs
+    ADD to the random ones (group = 1 + 2*hard + 2*rand), image slots
+    sample from the mined txt2hardimgs pool, text slots from
+    img2hardtxts; empty pools fall back to random with the SAME group
+    size (static shapes for the jitted loss)."""
+    txt, img = dbs(corpus)
+    rank = D.ItmRankHardNegDataset(txt, img, neg_sample_size=1,
+                                   hard_neg_size=2)
+    assert rank.sample_size == 1 + 2 * (1 + 2)
+    rng = np.random.default_rng(0)
+    # before mining: random fallback, same group size
+    g = rank.get_example(0, rng)
+    assert len(g) == rank.sample_size
+    assert g[0]["target"] == 1 and all(x["target"] == 0 for x in g[1:])
+    # after mining: hard image slots draw from the pool
+    tid = rank.ids[0]
+    gt_img = rank.txt2img[tid]
+    pool_imgs = [i for i in rank.all_imgs if i != gt_img][:3]
+    pool_txts = [t for t in rank.all_txts
+                 if t not in rank.img2txts[gt_img]][:3]
+    rank.reload_hard_negs({"txt2hardimgs": {tid: pool_imgs},
+                           "img2hardtxts": {gt_img: pool_txts}})
+    g = rank.get_example(0, rng)
+    assert len(g) == rank.sample_size
+    # slots 1..hard_neg_size are hard images: same text as positive
+    assert all((x["input_ids"] == g[0]["input_ids"]).all()
+               for x in g[1:3])
+    # slots hard+1..2*hard are hard texts over the gt image
+    pos_feat = g[0]["img_feat"]
+    assert all(np.array_equal(x["img_feat"], pos_feat) for x in g[3:5])
+    # legacy flat format still loads (txt2hardimgs only)
+    rank.reload_hard_negs({tid: pool_imgs})
+    assert rank.txt2hardimgs[tid] == pool_imgs
+    assert rank.img2hardtxts == {}
+    g = rank.get_example(0, rng)
+    assert len(g) == rank.sample_size
+
+
 def test_vqa_nlvr(corpus):
     txt, img = dbs(corpus)
     b = run_task_batches(D.VqaDataset(txt, img, num_answers=13), 1)[0]

@@ -55,13 +55,17 @@ def test_itm_finetune_and_eval(corpus, model_config, tmp_path):
     log = results["synth"]
     for k in ("txt_r1", "img_r1", "r_mean"):
         assert 0.0 <= log[k] <= 1.0
-    # hard negative mining artifact exists
-    mined = [f for f in os.listdir(opts.output_dir)
-             if f.startswith("hard_negs")]
-    assert mined
+    # hard negative mining artifacts exist: initial pass (step 0,
+    # reference itm.py:233-235) + periodic; pools carry BOTH directions
+    # (reference get_hard_negs returns txt2hardimgs AND img2hardtxts)
+    mined = sorted(f for f in os.listdir(opts.output_dir)
+                   if f.startswith("hard_negs"))
+    assert "hard_negs_0.json" in mined and len(mined) >= 2
     hard = json.load(open(os.path.join(opts.output_dir, mined[0])))
-    some = next(iter(hard.values()))
-    assert len(some) <= 3
+    assert set(hard) == {"txt2hardimgs", "img2hardtxts"}
+    assert all(len(v) <= opts.hard_neg_pool_size
+               for v in hard["txt2hardimgs"].values())
+    assert hard["img2hardtxts"]
 
 
 def test_itm_finetune_with_accumulation(corpus, model_config, tmp_path):

@@ -93,6 +93,39 @@ def test_pretrain_tlm_and_soft(corpus, model_config, tmp_path,
     assert int(state.step) == 4
 
 
+def test_pretrain_reference_flag_variants(corpus, model_config, tmp_path,
+                                          tmp_path_factory):
+    """The reference's secondary pretraining switches, all in one run:
+    --itm_hard_neg (pretrain.py:261-272 → ItmDataset_HardNeg),
+    --no_co_masking (tlm falls back to plain MLM, pretrain.py:142-144),
+    --no_multilingual_vmlm (EN label list, pretrain.py:301-311),
+    --optim adamax (optim/misc.py:21-29), --dropout (utils/misc.py:54-60).
+    """
+    import pretrain
+    paired = synth_corpus(str(tmp_path_factory.mktemp("paired_hn")),
+                          n_imgs=8, txt_per_img=2, paired=True, min_bb=4,
+                          max_bb=10, img_dim=16, n_classes=11, seed=9,
+                          max_words=5, vocab=512)
+    argv = [
+        "--model_config", model_config,
+        "--output_dir", str(tmp_path / "out_flags"),
+        "--train_datasets", json.dumps([
+            {"name": "pair_de", "language": "de",
+             "db": [paired["txt_db"]], "img": [paired["img_db"]],
+             "tasks": ["itm", "tlm", "vmlm"], "mix_ratio": [1, 1, 1]}]),
+        "--max_txt_len", "24", "--max_bb", "10", "--min_bb", "4",
+        "--train_batch_size", "256", "--num_train_steps", "3",
+        "--label_classes", "11",
+        "--itm_hard_neg", "--no_co_masking", "--no_multilingual_vmlm",
+        "--optim", "adamax", "--dropout", "0.05",
+        "--warmup_steps", "1", "--valid_steps", "0", "--save_steps", "3",
+        "--log_steps", "1", "--dtype", "float32", "--seed", "0",
+    ]
+    opts = pretrain.parse_with_config(pretrain.build_parser(), argv)
+    state = pretrain.main(opts)
+    assert int(state.step) == 3
+
+
 def test_pretrain_resume(corpus, model_config, tmp_path):
     """Kill at step 6 → restart → restorer resumes past step 6."""
     state, opts = run_driver(corpus, model_config, tmp_path)

@@ -589,46 +589,82 @@ class ItmRankDataset(VLDataset):
 
 
 class ItmRankHardNegDataset(ItmRankDataset):
-    """Rank groups with *mined* hard-negative images (reference
-    ItmRankDatasetHardNeg, data/itm.py:561-613: negative pool reloaded from
-    the JSON written by the mining pass)."""
+    """Rank groups with *mined* hard negatives (reference
+    ItmRankDatasetHardNeg, data/itm.py:561-613): each group is
+    [pos, hard_neg_size hard images, hard_neg_size hard texts,
+    neg_sample_size random images, neg_sample_size random texts] —
+    hard negatives are ADDED to the random ones, not substituted
+    (assert at data/itm.py:609-612), and each slot is sampled from the
+    mined pool (``--hard_neg_pool_size`` entries per id). Until the first
+    mining pass fills the pools, hard slots fall back to random sampling
+    so the group size (and the jitted loss shape) stays static."""
 
     def __init__(self, txt_db, img_db, neg_sample_size: int = 1,
-                 hard_negs: Optional[Dict[str, List[str]]] = None):
+                 hard_neg_size: int = 1,
+                 hard_negs: Optional[Dict[str, Dict[str, List[str]]]] = None):
         super().__init__(txt_db, img_db, neg_sample_size)
-        self.hard_negs = hard_negs or {}
+        self.hard_neg_size = hard_neg_size
+        self.txt2hardimgs: Dict[str, List[str]] = {}
+        self.img2hardtxts: Dict[str, List[str]] = {}
+        if hard_negs:
+            self.reload_hard_negs(hard_negs)
+
+    @property
+    def sample_size(self):
+        return 1 + 2 * (self.neg_sample_size + self.hard_neg_size)
 
     def reload_hard_negs(self, path_or_dict):
         if isinstance(path_or_dict, str):
             import json as _json
             with open(path_or_dict) as f:
-                self.hard_negs = _json.load(f)
-        else:
-            self.hard_negs = dict(path_or_dict)
+                path_or_dict = _json.load(f)
+        d = dict(path_or_dict)
+        if "txt2hardimgs" in d or "img2hardtxts" in d:
+            self.txt2hardimgs = dict(d.get("txt2hardimgs", {}))
+            self.img2hardtxts = dict(d.get("img2hardtxts", {}))
+        else:   # legacy flat format: txt→hard images only
+            self.txt2hardimgs = d
+            self.img2hardtxts = {}
+
+    def _append_img_neg(self, group, ids, neg_img):
+        f2, b2, _ = self._img_feat(neg_img)
+        group.append({"input_ids": ids, "img_feat": f2,
+                      "img_pos_feat": b2, "target": 0})
+
+    def _append_txt_neg(self, group, feat, bb7, neg_txt):
+        nids = self.txt_db.combine_inputs(
+            self.txt_db[neg_txt]["input_ids"])
+        group.append({"input_ids": nids, "img_feat": feat,
+                      "img_pos_feat": bb7, "target": 0})
 
     def get_example(self, i, rng):
         id_ = self.ids[i]
-        negs = self.hard_negs.get(id_)
-        if not negs:
-            return super().get_example(i, rng)
         rec = self.example_record(i)
         gt_img = self.txt2img[id_]
+        gt_txts = self.img2txts[gt_img]
         ids = self.txt_db.combine_inputs(rec["input_ids"])
         feat, bb7, _ = self._img_feat(gt_img)
         group = [{"input_ids": ids, "img_feat": feat, "img_pos_feat": bb7,
                   "target": 1}]
-        for _ in range(self.neg_sample_size):
-            neg_img = negs[int(rng.integers(0, len(negs)))]
-            f2, b2, _ = self._img_feat(neg_img)
-            group.append({"input_ids": ids, "img_feat": f2,
-                          "img_pos_feat": b2, "target": 0})
-        gt_txts = self.img2txts[gt_img]
-        for _ in range(self.neg_sample_size):
-            neg_txt = sample_negative(rng, self.all_txts, gt_txts)
-            nids = self.txt_db.combine_inputs(
-                self.txt_db[neg_txt]["input_ids"])
-            group.append({"input_ids": nids, "img_feat": feat,
-                          "img_pos_feat": bb7, "target": 0})
+        img_pool = self.txt2hardimgs.get(id_) or []
+        txt_pool = self.img2hardtxts.get(gt_img) or []
+        for _ in range(self.hard_neg_size):     # hard image negatives
+            neg_img = (img_pool[int(rng.integers(0, len(img_pool)))]
+                       if img_pool
+                       else sample_negative(rng, self.all_imgs, [gt_img]))
+            self._append_img_neg(group, ids, neg_img)
+        for _ in range(self.hard_neg_size):     # hard text negatives
+            neg_txt = (txt_pool[int(rng.integers(0, len(txt_pool)))]
+                       if txt_pool
+                       else sample_negative(rng, self.all_txts, gt_txts))
+            self._append_txt_neg(group, feat, bb7, neg_txt)
+        for _ in range(self.neg_sample_size):   # random image negatives
+            self._append_img_neg(
+                group, ids, sample_negative(rng, self.all_imgs, [gt_img]))
+        for _ in range(self.neg_sample_size):   # random text negatives
+            self._append_txt_neg(
+                group, feat, bb7,
+                sample_negative(rng, self.all_txts, gt_txts))
         return group
 
 

@@ -286,24 +286,42 @@ def quick_validate(model, params, txt_db, img_db, txt_len: int, num_bb: int,
 
 
 def mine_hard_negatives(model, params, txt_db, img_db, txt_len: int,
-                        num_bb: int, hard_neg_size: int = 30,
+                        num_bb: int, hard_neg_size: int = 20,
                         batch_size: int = 64,
                         out_path: Optional[str] = None
-                        ) -> Dict[str, List[str]]:
-    """Top-k highest-scoring wrong images per text (reference get_hard_negs,
-    itm.py:59-74, 385-445)."""
+                        ) -> Dict[str, Dict[str, List[str]]]:
+    """Pools of the top-k highest-scoring wrong images per text AND wrong
+    texts per image (reference get_hard_negs, itm.py:385-445, which returns
+    both ``txt2hardimgs`` and ``img2hardtxts``; the pool size is
+    --hard_neg_pool_size, itm.py:233-235, and the rank dataset samples
+    --hard_neg_size items from it per example, data/itm.py:589-598).
+
+    The reference scores each text against a random candidate minibatch
+    (ItmHardNegDataset, data/itm.py:862-885) and exchanges per-rank JSON;
+    here one mesh-sharded score matrix yields both directions at once."""
     txt2img = txt_db.txt2img
     txt_ids = list(txt_db.ids)
     img_ids = sorted({txt2img[t] for t in txt_ids})
+    img2txts = {}
+    for t in txt_ids:
+        img2txts.setdefault(txt2img[t], []).append(t)
     m = score_matrix(model, params, txt_db, img_db, txt_ids, img_ids,
                      txt_len, num_bb, batch_size)
     img_arr = np.asarray(img_ids, dtype=object)
-    hard: Dict[str, List[str]] = {}
+    txt_arr = np.asarray(txt_ids, dtype=object)
+    txt2hardimgs: Dict[str, List[str]] = {}
     for i, tid in enumerate(txt_ids):
         gt = txt2img[tid]
         order = np.argsort(-m[i], kind="stable")
         negs = [img_arr[j] for j in order if img_arr[j] != gt]
-        hard[tid] = list(negs[:hard_neg_size])
+        txt2hardimgs[tid] = list(negs[:hard_neg_size])
+    img2hardtxts: Dict[str, List[str]] = {}
+    for j, img in enumerate(img_ids):
+        gts = set(img2txts.get(img, ()))
+        order = np.argsort(-m[:, j], kind="stable")
+        negs = [txt_arr[i] for i in order if txt_arr[i] not in gts]
+        img2hardtxts[img] = list(negs[:hard_neg_size])
+    hard = {"txt2hardimgs": txt2hardimgs, "img2hardtxts": img2hardtxts}
     if out_path:
         with open(out_path, "w") as f:
             json.dump(hard, f)

@@ -121,16 +121,33 @@ def build_optimizer(params, learning_rate_fn: Callable,
                     weight_decay: float = 0.01,
                     betas: Sequence[float] = (0.9, 0.98),
                     eps: float = 1e-6,
-                    grad_norm: float = -1.0) -> optax.GradientTransformation:
-    """AdamW with bias/LN exempt from decay + optional global-norm clipping
-    (reference build_optimizer optim/misc.py:9-32; clip at pretrain.py:610).
+                    grad_norm: float = -1.0,
+                    optim: str = "adamw") -> optax.GradientTransformation:
+    """Optimizer with bias/LN exempt from decay + optional global-norm
+    clipping (reference build_optimizer optim/misc.py:9-32 — adam / adamax /
+    adamw selected by ``--optim``; clip at pretrain.py:610). The published
+    configs only exercise adamw (config/uc2_pretrain.json:23); adam/adamax
+    here share the decoupled masked decay rather than torch's coupled L2.
     """
     chain = []
     if grad_norm and grad_norm > 0:
         chain.append(optax.clip_by_global_norm(grad_norm))
-    chain.append(optax.adamw(
-        learning_rate=learning_rate_fn, b1=betas[0], b2=betas[1], eps=eps,
-        weight_decay=weight_decay, mask=decay_mask(params)))
+    if optim == "adamw":
+        chain.append(optax.adamw(
+            learning_rate=learning_rate_fn, b1=betas[0], b2=betas[1],
+            eps=eps, weight_decay=weight_decay, mask=decay_mask(params)))
+    elif optim in ("adam", "adamax"):
+        scale_by = (optax.scale_by_adam if optim == "adam"
+                    else optax.scale_by_adamax)
+        # same composition optax.adamw uses internally: scale_by_* →
+        # +wd·param → ×(−lr)
+        chain.append(optax.chain(
+            scale_by(b1=betas[0], b2=betas[1], eps=eps),
+            optax.add_decayed_weights(weight_decay,
+                                      mask=decay_mask(params)),
+            optax.scale_by_learning_rate(learning_rate_fn)))
+    else:
+        raise ValueError(f"invalid optimizer {optim!r}")
     return optax.chain(*chain)
 
 
@@ -138,19 +155,31 @@ def build_xlmr_optimizer(params, learning_rate_fn: Callable,
                          xlmr_lr_fn: Callable, weight_decay: float = 0.01,
                          betas: Sequence[float] = (0.9, 0.98),
                          eps: float = 1e-6, grad_norm: float = -1.0,
-                         load_layer: Optional[int] = None
+                         load_layer: Optional[int] = None,
+                         optim: str = "adamw"
                          ) -> optax.GradientTransformation:
-    """Two-LR AdamW: pretrained XLM-R subtree at xlmr_lr, the rest at the
-    main lr (reference build_xlmr_optimizer, optim/misc.py:48-100, driven by
-    --separate_lr at itm.py:216-219)."""
+    """Two-LR optimizer: pretrained XLM-R subtree at xlmr_lr, the rest at
+    the main lr (reference build_xlmr_optimizer, optim/misc.py:48-100 — same
+    adam/adamax/adamw choice as build_optimizer — driven by --separate_lr at
+    itm.py:216-219)."""
     import jax
     pre = pretrained_mask(params, load_layer)
     labels = jax.tree_util.tree_map(lambda is_pre: "pre" if is_pre else "new",
                                     pre)
     def adamw_for(lr_fn):
-        return optax.adamw(learning_rate=lr_fn, b1=betas[0], b2=betas[1],
-                           eps=eps, weight_decay=weight_decay,
-                           mask=decay_mask(params))
+        if optim == "adamw":
+            return optax.adamw(learning_rate=lr_fn, b1=betas[0], b2=betas[1],
+                               eps=eps, weight_decay=weight_decay,
+                               mask=decay_mask(params))
+        if optim not in ("adam", "adamax"):
+            raise ValueError(f"invalid optimizer {optim!r}")
+        scale_by = (optax.scale_by_adam if optim == "adam"
+                    else optax.scale_by_adamax)
+        return optax.chain(
+            scale_by(b1=betas[0], b2=betas[1], eps=eps),
+            optax.add_decayed_weights(weight_decay,
+                                      mask=decay_mask(params)),
+            optax.scale_by_learning_rate(lr_fn))
     chain = []
     if grad_norm and grad_norm > 0:
         chain.append(optax.clip_by_global_norm(grad_norm))
