@@ -50,9 +50,17 @@ import numpy as np
 # in this image hangs on executable serialization (observed: >16 min spin on
 # a program that compiles in ~3 min uncached).
 
+import sys
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 V100_BASELINE_PAIRS_PER_SEC = 600.0   # the flat L=162 estimate (BASELINE.md)
-CHIP_CALIB_TFLOPS = 125.0   # sustained bf16 8192^3 matmul on this chip
-                            # (BASELINE.md round-1 calibration row)
+# FLOPs model + calibration shared with scripts/tpu_measure.py — one
+# source of truth so the roofline accounting cannot drift between the
+# headline JSON and the measurement tool
+from uc2_tpu.utils.flops import (CHIP_CALIB_TFLOPS,  # noqa: E402
+                                 encoder_fwd_flops_per_pair as
+                                 flops_per_pair,
+                                 grad_flops_per_example)
 
 LT = 62
 # nbb bucket upper edges; match evalu/retrieval.py
@@ -91,13 +99,6 @@ def hist_weights(path):
     if total == 0:
         raise ValueError(f"empty nbb histogram: {path}")
     return [c / total for c in counts], len(nbbs)
-
-
-def flops_per_pair(L, n_layers=12, H=768, F=3072):
-    """Encoder forward FLOPs for one (text, image) pair at joint length L:
-    per layer 4 H×H projection matmuls + 2 H×F FFN matmuls + QK^T/PV."""
-    per_layer = 2 * L * H * (4 * H) + 2 * L * (2 * H * F) + 4 * L * L * H
-    return n_layers * per_layer
 
 
 def v100_rate(L):
@@ -249,13 +250,7 @@ def _measure_train(B=128, Lt=LT, Nb=100, M=24, grad_iters=8,
     a_rate = max(a_rates)
 
     step_rate = 1.0 / (1.0 / g_rate + 1.0 / a_rate)
-    # grad FLOPs model (matmuls, 3x fwd) — same as tpu_measure
-    L = Lt + Nb
-    per_layer = 2 * L * 768 * (4 * 768) + 2 * L * (2 * 768 * 3072) \
-        + 4 * L * L * 768
-    fl = 3 * (12 * per_layer + 2 * Nb * 2048 * 768
-              + 2 * M * 768 * 768 + 2 * M * 768 * 250002)
-    tfs = g_rate * B * fl / 1e12
+    tfs = g_rate * B * grad_flops_per_example(Lt, Nb, M) / 1e12
     return {
         "train_grad_steps_per_sec": round(g_rate, 2),
         "train_apply_per_sec": round(a_rate, 1),

@@ -217,16 +217,31 @@ def main(opts):
         meter = RunningMeter("rank_loss")
         rng_key = jax.random.PRNGKey(opts.seed + 1)
         global_step = int(state.step)
-        if opts.hard_neg_size > 0 and opts.hard_neg_steps:
+
+        def _mine_path(step):
+            # per-HOST artifact under multi-host: txt_db is shard-striped,
+            # so each host mines a host-distinct pool — one shared filename
+            # would race concurrent writers on the shared output_dir
+            tag = f"hard_negs_{step}"
+            if multi:
+                tag += f".host{MH.process_index()}"
+            return os.path.join(opts.output_dir, tag + ".json")
+
+        if opts.hard_neg_size > 0:
             # reference mines once BEFORE training starts (itm.py:233-235)
-            # so hard slots never run on the random fallback
+            # so hard slots never run on the random fallback — gated on
+            # hard_neg_size alone: the dataset selects hard slots on it, so
+            # leaving --hard_neg_steps at 0 must still seed the pools
             LOGGER.info("initial hard-negative mining")
             dataset.reload_hard_negs(mine_hard_negatives(
                 model, host_params(state), txt_db, img_db,
                 opts.max_txt_len + 2, opts.max_bb,
                 hard_neg_size=opts.hard_neg_pool_size,
                 batch_size=opts.eval_batch_size,
-                out_path=os.path.join(opts.output_dir, "hard_negs_0.json")))
+                out_path=_mine_path(0)))
+            if not opts.hard_neg_steps:
+                LOGGER.warning("--hard_neg_steps=0: pools mined once at "
+                               "start, periodic re-mining disabled")
         start = time.time()
         n_ex = 0
         accum = max(1, opts.gradient_accumulation_steps)
@@ -285,8 +300,7 @@ def main(opts):
                     opts.max_txt_len + 2, opts.max_bb,
                     hard_neg_size=opts.hard_neg_pool_size,
                     batch_size=opts.eval_batch_size,
-                    out_path=os.path.join(opts.output_dir,
-                                          f"hard_negs_{global_step}.json"))
+                    out_path=_mine_path(global_step))
                 dataset.reload_hard_negs(hard)
             # all hosts (collective gather under zero1; write=is_main)
             restorer.step(global_step, state)

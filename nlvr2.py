@@ -155,24 +155,33 @@ def main(opts):
                             shuffle=False, drop_last=False)
             preds = {}
             ids = list(pred_ds.ids)
-            for _ in range(max(1, len(ids) // bucket.batch_size)):
-                b = tl.next_batch()
+            # one_epoch yields every batch exactly once INCLUDING the
+            # ragged tail (a floor(len/bs)-count loop silently dropped the
+            # tail examples from the official CSV). Multi-host: the batch
+            # is host-identical, so every leaf replicates ("replicate_all"
+            # — data-sharding divisible leaves would concatenate the
+            # hosts' identical copies and leave logits spanning
+            # non-addressable devices); each device computes the full
+            # batch redundantly, which is fine for one final sweep.
+            for b in tl.one_epoch():
                 b.pop("_bucket", None)
                 b.pop("sample_size", None)
-                # eval sweep over the unsharded (host-identical) dataset
                 logits = np.asarray(logits_fn(
                     state.params,
-                    M.shard_batch(mesh, b, ragged="replicate")))
+                    M.shard_batch(mesh, b, ragged="replicate_all"
+                                  if multi else "replicate")))
                 for j, p_ in enumerate(logits.argmax(-1)):
                     if len(preds) < len(ids):
                         preds[ids[len(preds)]] = \
                             "true" if p_ == 1 else "false"
-            with open(opts.pred_csv, "w", newline="") as f:
-                w = csv.writer(f)
-                for k, v in preds.items():
-                    w.writerow([k, v])
-            LOGGER.info("wrote %d predictions to %s", len(preds),
-                        opts.pred_csv)
+            if MH.process_index() == 0:  # hosts hold identical preds —
+                # one writer avoids interleaved writes on a shared fs
+                with open(opts.pred_csv, "w", newline="") as f:
+                    w = csv.writer(f)
+                    for k, v in preds.items():
+                        w.writerow([k, v])
+                LOGGER.info("wrote %d predictions to %s", len(preds),
+                            opts.pred_csv)
         return state
 
 

@@ -402,6 +402,11 @@ def main(opts):
                     batch.pop("_bucket", None)
                     batch.pop("sample_size", None)
                     batch = M.shard_batch(mesh, batch, stacked=stack)
+                # NOTE: shard_batch returns GLOBAL-shaped arrays, so under
+                # multi-host this counts examples across ALL hosts (matching
+                # the reference's all-reduced n_examples, pretrain.py:625) —
+                # identical in the prefetch and --no_prefetch paths. The
+                # logged ex/s is therefore cluster-wide, not per chip.
                 bs = batch["input_ids"].shape
                 n_examples[name] += (bs[0] * bs[1] if stack else bs[0])
                 sub = jax.random.fold_in(rng_base, global_step)
@@ -498,6 +503,12 @@ def main(opts):
                 break
 
         drain()
+        if pre_sharded:
+            # stop the prefetch worker and drop its buffered device batches
+            # (the meta iterator is infinite — without this every finished
+            # in-process run leaks a thread + depth+1 device-resident
+            # batches)
+            meta.close()
         if opts.valid_steps and global_step % opts.valid_steps != 0:
             validate(model, state, val, buckets, valid_ids, opts, mesh)
             if is_main or opts.async_ckpt:

@@ -33,27 +33,10 @@ def log(*a):
         print(*a, file=LOG, flush=True)
 
 
-CHIP_CALIB_TFLOPS = 125.0   # sustained bf16 8192^3 matmul on this chip
-CHIP_PEAK_TFLOPS = 197.0    # v5e bf16 peak; per-shape matmuls measured up
-                            # to 176 TF/s (kernel_lab ce roofline arm), so
-                            # 125-197 is high-but-possible and only >197
-                            # is physically impossible
-
-
-def grad_flops_per_example(Lt, Nb, M, n_layers=12, H=768, F=3072,
-                           V=250002, img_dim=2048):
-    """Matmul FLOPs for ONE example's full mlm grad step (fwd + bwd-acts +
-    bwd-weights ~= 3x fwd). Used to print implied TF/s next to every train
-    RESULT so roofline-violating rates self-flag: round 3's 26.5
-    grad-steps/s implied ~192 TF/s (> the chip's own 125 TF/s sustained
-    calibration) because the harness kept only one gradient leaf live and
-    XLA dead-coded most of the backward (VERDICT r3 weak #1)."""
-    L = Lt + Nb
-    per_layer = 2 * L * H * (4 * H) + 2 * L * (2 * H * F) + 4 * L * L * H
-    enc = n_layers * per_layer
-    img_emb = 2 * Nb * img_dim * H
-    head = 2 * M * H * H + 2 * M * H * V
-    return 3 * (enc + img_emb + head)
+# single source of truth for the FLOPs model + roofline constants
+# (shared with bench.py's MFU fields — they must not drift)
+from uc2_tpu.utils.flops import (CHIP_CALIB_TFLOPS, CHIP_PEAK_TFLOPS,  # noqa: E402
+                                 grad_flops_per_example)
 
 
 def _implied_tfs(rate_steps_s, B, Lt, Nb, M):

@@ -422,6 +422,48 @@ def test_meta_loader_kv_namespace_and_retirement(corpus, monkeypatch):
     assert deleted == [f"uc2/bucket/{a.kv_ns}/{i}" for i in range(4)]
 
 
+def test_meta_loader_kv_retirement_stacked_stride(corpus, monkeypatch):
+    """Stacked accumulation writes keys at step stride accum_steps — the
+    retired key must be offset by 256*stride or it NEVER matches a written
+    key and every key leaks (code-review r4: a flat `step - 256` with
+    accum=3 deleted keys ≡ 2 (mod 3), none of which ever existed)."""
+    from uc2_tpu.parallel import multihost as MH
+    stored, deleted = {}, []
+    monkeypatch.setattr(MH, "kv_broadcast_object",
+                        lambda key, obj=None, root=0, **kw:
+                        stored.setdefault(key, obj) or obj)
+    monkeypatch.setattr(MH, "kv_delete", lambda key: deleted.append(key))
+    txt, img = dbs(corpus)
+    loaders = {"mlm": TaskLoader("mlm", D.MlmDataset(txt, img), BUCKETS,
+                                 seed=7)}
+    a = MetaLoader(loaders, seed=11, sync_buckets=True, accum_steps=3,
+                   stack_microbatches=True)
+    for _ in range(260):                  # windows at steps 0, 3, ..., 777
+        next(a)
+    assert deleted, "no keys retired under stacked accumulation"
+    assert all(k in stored for k in deleted), \
+        "retired keys were never written (stride misalignment)"
+    # exactly the writes older than the 256-write rolling window retired
+    assert deleted == [f"uc2/bucket/{a.kv_ns}/{3 * i}" for i in range(4)]
+
+
+def test_prefetch_loader_close_unblocks_worker():
+    """close() releases a worker blocked on a full queue (infinite source —
+    the driver case): the thread must exit and buffered items be dropped,
+    otherwise every finished run leaks a live thread + depth+1 batches."""
+    import itertools
+    import time as _t
+    pf = PrefetchLoader(({"i": i} for i in itertools.count()), depth=2)
+    assert next(pf)["i"] == 0
+    pf.close()
+    for _ in range(100):                  # worker exits promptly
+        if not pf.thread.is_alive():
+            break
+        _t.sleep(0.05)
+    assert not pf.thread.is_alive()
+    assert pf.q.empty()
+
+
 def test_prefetch_loader():
     src = iter(range(10))
     pf = PrefetchLoader(iter([{"x": np.ones(3)} for _ in range(5)]), depth=2)

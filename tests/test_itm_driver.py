@@ -68,6 +68,35 @@ def test_itm_finetune_and_eval(corpus, model_config, tmp_path):
     assert hard["img2hardtxts"]
 
 
+def test_itm_hard_negs_without_periodic_mining(corpus, model_config,
+                                               tmp_path):
+    """--hard_neg_size alone (default --hard_neg_steps 0) must still run
+    the initial mining pass — the dataset selects hard slots on
+    hard_neg_size, so skipping the seed mine would leave every hard slot
+    on the random fallback forever (code-review r4)."""
+    import itm
+    argv = [
+        "--model_config", model_config,
+        "--output_dir", str(tmp_path / "out_nostep"),
+        "--train_txt_db", corpus["txt_db"],
+        "--train_img_db", corpus["img_db"],
+        "--max_txt_len", "16", "--max_bb", "8", "--min_bb", "4",
+        "--train_batch_size", "12", "--eval_batch_size", "8",
+        "--num_train_steps", "2", "--warmup_steps", "1",
+        "--valid_steps", "0", "--save_steps", "5", "--log_steps", "1",
+        "--hard_neg_size", "2",
+        "--dtype", "float32", "--seed", "0",
+    ]
+    opts = itm.parse_with_config(itm.build_parser(), argv)
+    assert opts.hard_neg_steps == 0
+    state, _ = itm.main(opts)
+    assert int(state.step) == 2
+    mined = os.path.join(opts.output_dir, "hard_negs_0.json")
+    assert os.path.exists(mined), "initial mining pass did not run"
+    hard = json.load(open(mined))
+    assert hard["txt2hardimgs"] and hard["img2hardtxts"]
+
+
 def test_itm_finetune_with_accumulation(corpus, model_config, tmp_path):
     """--gradient_accumulation_steps routes through the in-step lax.scan
     (reference itm accumulates 8 micro-batches, config/uc2_mscoco_itm.json)."""

@@ -50,6 +50,9 @@ def test_nlvr2_driver(corpus, model_config, tmp_path, fmt):
     rows = open(pred_csv).read().strip().splitlines()
     assert rows and all("," in r for r in rows)
     assert set(r.split(",")[1] for r in rows) <= {"true", "false"}
+    # the official CSV must cover EVERY example — 10 ids with batch_size 4
+    # exercises the ragged tail batch the old floor(len/bs) sweep dropped
+    assert len(rows) == 10, f"tail batch dropped: {len(rows)}/10 predictions"
 
 
 def test_ve_driver_defaults():

@@ -58,6 +58,12 @@ def test_batch_shardings_ragged_multiprocess(monkeypatch):
     # provably host-identical data may opt back into replication
     s = M.batch_shardings(mesh, ragged, ragged="replicate")
     assert s["x"].spec == P()
+    # replicate_all: EVERY leaf replicates, including divisible ones —
+    # final prediction sweeps over host-identical data (nlvr2 --pred_csv):
+    # data-sharding a divisible leaf would concatenate the hosts'
+    # identical copies into a duplicated-content global batch
+    s = M.batch_shardings(mesh, good, ragged="replicate_all")
+    assert s["x"].spec == P() and s["step"].spec == P()
 
 
 def test_step_timer():

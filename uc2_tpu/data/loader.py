@@ -391,9 +391,14 @@ class MetaLoader:
             MH.kv_broadcast_object(key, int(batch["_bucket"]))
             # lazily retire old keys (root-side, per ADVICE r3): consumers
             # trail the producer by at most the prefetch depth, so a
-            # 256-step rolling window is far beyond any live reader
-            if step >= 256:
-                MH.kv_delete(f"uc2/bucket/{self.kv_ns}/{step - 256}")
+            # 256-WRITE rolling window is far beyond any live reader.
+            # Written keys are multiples of the step stride (accum_steps
+            # when stacked), so the retired key must be offset by
+            # 256*stride — a flat `step - 256` never aligns when the
+            # stride doesn't divide 256 and would leak every key.
+            stride = self.accum_steps if self.stack else 1
+            if step >= 256 * stride:
+                MH.kv_delete(f"uc2/bucket/{self.kv_ns}/{step - 256 * stride}")
             return batch
         b = MH.kv_broadcast_object(key)
         return (loader.next_stacked(n, bucket=b) if n
@@ -452,18 +457,54 @@ class PrefetchLoader:
         self.q: "queue.Queue" = queue.Queue(maxsize=depth)
         self.device_put = device_put
         self._done = object()
+        self._stop = threading.Event()
         self.thread = threading.Thread(target=self._worker, daemon=True)
         self.thread.start()
+
+    def _put(self, item) -> bool:
+        # bounded put that yields to close(): a plain q.put would leave the
+        # worker blocked forever (holding device-placed batches alive) once
+        # the consumer stops reading
+        while not self._stop.is_set():
+            try:
+                self.q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                pass
+        return False
 
     def _worker(self):
         try:
             for item in self.it:
+                if self._stop.is_set():
+                    break
                 if self.device_put is not None:
                     item = self.device_put(item)
-                self.q.put(item)
+                if not self._put(item):
+                    break
         except Exception as e:  # surface worker errors to the consumer
-            self.q.put(e)
-        self.q.put(self._done)
+            self._put(e)
+        self._put(self._done)
+
+    def close(self):
+        """Stop the worker thread and release any buffered batches.
+
+        Drivers call this when the train loop exits (the underlying
+        iterator is usually infinite, so the worker never finishes on its
+        own — without close() every finished run leaks a live thread plus
+        depth+1 assembled, possibly device-resident batches)."""
+        self._stop.set()
+        while self.thread.is_alive():
+            try:  # unblock a worker stuck in q.put
+                self.q.get_nowait()
+            except queue.Empty:
+                pass
+            self.thread.join(timeout=0.05)
+        while True:  # drop whatever stayed buffered
+            try:
+                self.q.get_nowait()
+            except queue.Empty:
+                break
 
     def __iter__(self):
         return self

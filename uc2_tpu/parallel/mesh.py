@@ -87,6 +87,12 @@ def batch_shardings(mesh: Mesh, batch, stacked: bool = False,
     provably identical on every host (``ragged="replicate"`` — lockstep
     validation only).
 
+    ``ragged="replicate_all"`` replicates EVERY leaf (divisible ones too):
+    for host-identical final prediction sweeps under multi-process, where
+    data-sharding divisible leaves would concatenate the hosts' identical
+    copies into a duplicated-content global batch (and make the outputs
+    span non-addressable devices).
+
     ``stacked``: the batch carries a leading [accum] micro-batch axis
     (lax.scan gradient accumulation) — the data axis is then axis 1.
     """
@@ -98,6 +104,8 @@ def batch_shardings(mesh: Mesh, batch, stacked: bool = False,
     multi = jax.process_count() > 1
     def f(x):
         if hasattr(x, "ndim") and getattr(x, "ndim", 0) >= axis + 1:
+            if ragged == "replicate_all":
+                return NamedSharding(mesh, P())
             if x.shape[axis] % n_local == 0:
                 return NamedSharding(mesh, P(*([None] * axis), "data"))
             if multi and ragged != "replicate":
