@@ -60,3 +60,25 @@ def test_ve_driver_defaults():
     p = ve.build_parser()
     opts = p.parse_args(["--train_txt_db", "x", "--train_img_db", "y"])
     assert opts.num_answer == 3
+
+
+def test_ve_driver_end_to_end(corpus, model_config, tmp_path):
+    """VE = the VQA driver with num_answer pinned to 3 (reference
+    model/ve.py:7-11) — run it through its own parser + main."""
+    import ve
+    import vqa
+    argv = [
+        "--model_config", model_config,
+        "--output_dir", str(tmp_path / "out_ve"),
+        "--train_txt_db", corpus["txt_db"],
+        "--train_img_db", corpus["img_db"],
+        "--max_txt_len", "16", "--max_bb", "8", "--min_bb", "4",
+        "--train_batch_size", "8", "--num_train_steps", "2",
+        "--warmup_steps", "1", "--valid_steps", "0",
+        "--save_steps", "5", "--log_steps", "1",
+        "--dtype", "float32", "--seed", "0",
+    ]
+    opts = ve.parse_with_config(ve.build_parser(), argv)
+    assert opts.num_answer == 3
+    state = vqa.main(opts)
+    assert int(state.step) == 2
