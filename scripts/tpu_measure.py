@@ -207,14 +207,23 @@ def cmd_train_ab(args):
     batch["txt_labels"] = jnp.asarray(
         rng.integers(4, 250002, (B, M)).astype(np.int32))
     arms = {}
-    all_arms = (("xla", 0), ("pallas-train", 0),
-                ("pallas-train+ce8", 8), ("pallas-train+ffnt", 0))
+    if args.attn_bb_list:
+        # attention-train batch-block tile sweep: one pallas-train arm per
+        # BB (UC2_ATTN_TRAIN_BB is read at trace time, flash_attention.py
+        # _train_bb; 0 = the default VMEM-budget heuristic)
+        all_arms = tuple((f"pallas-train@bb{bb}", 0)
+                         for bb in args.attn_bb_list.split(","))
+    else:
+        all_arms = (("xla", 0), ("pallas-train", 0),
+                    ("pallas-train+ce8", 8), ("pallas-train+ffnt", 0))
     want = set(args.arms.split(",")) if args.arms else None
     for impl, ce in all_arms:
         if want is not None and impl not in want:
             continue
-        # the training-FFN-block gate is read at trace time (encoder.py)
+        # trace-time env gates (encoder.py / flash_attention.py)
         os.environ["UC2_FFN_TRAIN"] = "1" if impl.endswith("ffnt") else "0"
+        os.environ["UC2_ATTN_TRAIN_BB"] = (impl.split("@bb")[1]
+                                           if "@bb" in impl else "0")
         cfg = UC2Config(dtype=args.dtype,
                         use_pallas_attention=(False if impl == "xla"
                                               else "pallas-train"))
@@ -254,6 +263,140 @@ def cmd_train_ab(args):
                        + _implied_tfs(rate, B, Lt, Nb, M))
         log(f"RESULT train_ab(grad-only,all-leaves-live) {args.task} "
             f"B={B} M={M} trial{trial}: " + " ".join(row) + " steps/s")
+
+
+def cmd_grad_profile(args):
+    """Ablation profile of the grad step — locates the gap between the
+    measured grad rate (67-69% of the 125 TF/s calibration at bucket-native
+    batches, BASELINE.md r4 table) and the chip's per-shape matmul ceiling
+    (176 TF/s, kernel_lab ce). No xprof through this tunnel, so the
+    breakdown is by ablation: each arm removes ONE cost and the deltas
+    attribute step time. Same methodology as train_ab (one process,
+    chained scan, every grad leaf folded into the carry, implied TF/s
+    printed next to the full arm).
+
+    Arms (all pallas-train attention unless noted):
+      full        value_and_grad of the real mlm loss (== train_ab arm)
+      fwd         forward+loss only -> bwd cost = full - fwd
+      nodrop      deterministic (no dropout masks anywhere)
+      nohead      grad of a surrogate loss on the gathered slots
+                  (encoder fwd+bwd + embedding scatter, NO 250k LM head)
+      frozenemb   word-embedding table non-diff (kills the input-side
+                  scatter-add AND the tied-decoder dW matmul)
+      encoder     nohead + frozenemb (pure encoder fwd+bwd)
+    """
+    import jax
+    import jax.numpy as jnp
+    from uc2_tpu.config import UC2Config
+    from uc2_tpu.models.pretraining import UC2ForPretraining, gather_slots
+    from uc2_tpu.training.step import make_loss_fn
+    rng = np.random.default_rng(0)
+    B, Lt, Nb, M = args.batch, args.txt_len, args.num_bb, args.masked
+    batch = _scoring_batch(rng, B, Lt, Nb, 250002)
+    batch["masked_pos"] = jnp.asarray(
+        rng.integers(1, Lt, (B, M)).astype(np.int32))
+    batch["masked_weight"] = jnp.ones((B, M), np.float32)
+    batch["txt_labels"] = jnp.asarray(
+        rng.integers(4, 250002, (B, M)).astype(np.int32))
+
+    attn = {"xla": False}.get(args.attention, args.attention)
+    cfg = UC2Config(dtype=args.dtype, use_pallas_attention=attn,
+                    num_hidden_layers=args.layers)
+    model = UC2ForPretraining(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    loss_fn = make_loss_fn(model, args.task)
+
+    def loss_nohead(params, batch, key):
+        rngs = {"dropout": key} if key is not None else None
+        seq, _ = model._encode(params, batch, key is None, rngs)
+        h = gather_slots(seq, batch["masked_pos"])
+        loss = jnp.sum(h.astype(jnp.float32)
+                       * batch["masked_weight"][:, :, None]) * 1e-3
+        return loss, {"loss": loss}
+
+    # shallow-copy split/join of the word-embedding leaf so `frozenemb`
+    # arms differentiate w.r.t. everything else only
+    def _split_emb(p):
+        p = dict(p); rb = dict(p["roberta"]); em = dict(rb["embeddings"])
+        emb = em.pop("word_embeddings")
+        rb["embeddings"] = em; p["roberta"] = rb
+        return p, emb
+
+    def _join_emb(p_wo, emb):
+        p = dict(p_wo); rb = dict(p["roberta"]); em = dict(rb["embeddings"])
+        em["word_embeddings"] = emb
+        rb["embeddings"] = em; p["roberta"] = rb
+        return p
+
+    p_wo_emb, emb_leaf = _split_emb(params)
+
+    def make_chain(fn, grad: bool, frozen_emb: bool, det: bool):
+        # fn(params, batch, key) -> (loss, aux)
+        if frozen_emb:
+            base = fn
+            fn = lambda p, b, k: base(_join_emb(p, emb_leaf), b, k)
+            p0 = p_wo_emb
+        else:
+            p0 = params
+
+        @jax.jit
+        def chain(p, batch, key):
+            def body(c, _):
+                b = dict(batch)
+                b["img_feat"] = batch["img_feat"] + c * 1e-30
+                kk = None if det else key
+                if grad:
+                    (loss, _), grads = jax.value_and_grad(
+                        fn, has_aux=True)(p, b, kk)
+                    tot = sum(jnp.sum(l.astype(jnp.float32))
+                              for l in jax.tree_util.tree_leaves(grads))
+                    return loss + tot * 1e-30 + c * 0.0, None
+                loss, _ = fn(p, b, kk)
+                return loss + c * 0.0, None
+            last, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                   length=args.iters)
+            return last
+        return chain, p0
+
+    all_arms = {
+        "full": (loss_fn, True, False, False),
+        "fwd": (loss_fn, False, False, False),
+        "nodrop": (loss_fn, True, False, True),
+        "nohead": (loss_nohead, True, False, False),
+        "frozenemb": (loss_fn, True, True, False),
+        "encoder": (loss_nohead, True, True, False),
+    }
+    want = set(args.arms.split(",")) if args.arms else None
+    arms = {}
+    for name, spec in all_arms.items():
+        if want is not None and name not in want:
+            continue
+        chain, p0 = make_chain(*spec)
+        t0 = time.time()
+        float(chain(p0, batch, jax.random.PRNGKey(0)))
+        log(f"compile grad_profile {name}: {time.time() - t0:.1f}s")
+        arms[name] = (chain, p0)
+    ms = {}
+    for trial in range(args.trials):
+        row = []
+        for name, (chain, p0) in arms.items():
+            t0 = time.perf_counter()
+            float(chain(p0, batch, jax.random.PRNGKey(trial)))
+            dt = time.perf_counter() - t0
+            ms.setdefault(name, []).append(1e3 * dt / args.iters)
+            row.append(f"{name}={1e3 * dt / args.iters:.1f}ms")
+        log(f"RESULT grad_profile {args.task} B={B} Lt={Lt} Nb={Nb} M={M} "
+            f"trial{trial}: " + " ".join(row))
+    best = {k: min(v) for k, v in ms.items()}
+    if "full" in best:
+        rate = 1e3 / best["full"]
+        log(f"grad_profile full: {rate:.2f} steps/s "
+            + _implied_tfs(rate, B, Lt, Nb, M))
+        for name, v in best.items():
+            if name != "full":
+                log(f"grad_profile delta full-{name}: "
+                    f"{best['full'] - v:+.1f} ms "
+                    f"({100 * (best['full'] - v) / best['full']:.0f}% of step)")
 
 
 def cmd_apply(args):
@@ -471,9 +614,22 @@ def main():
     pab.add_argument("--arms", default="",
                      help="comma list of arms to run (default: all 4), "
                           "e.g. 'pallas-train' for a batch-size sweep")
+    pab.add_argument("--attn_bb_list", default="",
+                     help="comma list of UC2_ATTN_TRAIN_BB values; turns "
+                          "the A/B into a tile sweep (0 = heuristic)")
     pab.set_defaults(iters=8)
     pap = sub.add_parser("apply"); common(pap)
     pap.set_defaults(iters=16)
+    pgp = sub.add_parser("grad_profile"); common(pgp)
+    pgp.add_argument("--task", default="mlm")
+    pgp.add_argument("--masked", type=int, default=24)
+    pgp.add_argument("--attention", default="pallas-train",
+                     help="xla | pallas-train (default)")
+    pgp.add_argument("--arms", default="",
+                     help="comma list (default: all 6)")
+    pgp.add_argument("--layers", type=int, default=12,
+                     help="encoder depth (shrink for CPU smoke tests)")
+    pgp.set_defaults(iters=8)
     pl = sub.add_parser("pretrain_loop"); common(pl)
     pl.add_argument("--task", default="mlm")
     pl.add_argument("--steps", type=int, default=120)
@@ -492,6 +648,12 @@ def main():
     pe.add_argument("--n_img", type=int, default=128)
 
     args = ap.parse_args()
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the image's sitecustomize force-registers the axon backend and
+        # overrides JAX_PLATFORMS; the config update wins over both
+        # (tests/conftest.py) — needed for CPU smoke runs of this tool
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     if args.log:
         LOG = open(args.log, "a")
     log(f"=== tpu_measure {args.cmd} start", time.strftime("%H:%M:%S"))
@@ -505,6 +667,7 @@ def main():
         log("device ready", round(time.time() - t0, 1))
     {"score": cmd_score, "ab": cmd_ab, "train": cmd_train,
      "train_ab": cmd_train_ab, "apply": cmd_apply,
+     "grad_profile": cmd_grad_profile,
      "pretrain_loop": cmd_pretrain_loop, "eval": cmd_eval,
      "h2d": cmd_h2d}[args.cmd](args)
     log(f"=== tpu_measure {args.cmd} done", time.strftime("%H:%M:%S"))

@@ -256,8 +256,16 @@ def _train_bb(B, n, L):
     gradients. Size for the bwd's VMEM pressure (4 fp32 [L,L]-class
     tensors live at once: p, pd/dpd, dp, ds) and let the fwd run the same,
     slightly smaller-than-optimal BB.
+
+    ``UC2_ATTN_TRAIN_BB`` overrides the VMEM-budget heuristic for tile
+    sweeps (applied identically to both passes, so mask correlation is
+    preserved; values that don't divide B are gcd-snapped like the
+    default). Sweep end-to-end only — isolated kernel races do not
+    predict in-graph wins (DESIGN.md round-3 notes).
     """
-    bb = max(1, (4 * 1024 * 1024) // (4 * n * L * L * 4))
+    import os
+    env = int(os.environ.get("UC2_ATTN_TRAIN_BB", "0"))
+    bb = env if env > 0 else max(1, (4 * 1024 * 1024) // (4 * n * L * L * 4))
     return math.gcd(bb, B)
 
 
