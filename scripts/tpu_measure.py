@@ -381,10 +381,14 @@ def cmd_grad_profile(args):
         row = []
         for name, (chain, p0) in arms.items():
             t0 = time.perf_counter()
-            float(chain(p0, batch, jax.random.PRNGKey(trial)))
+            last = float(chain(p0, batch, jax.random.PRNGKey(trial)))
             dt = time.perf_counter() - t0
             ms.setdefault(name, []).append(1e3 * dt / args.iters)
             row.append(f"{name}={1e3 * dt / args.iters:.1f}ms")
+            if trial == 0:
+                # loss sanity: full/nodrop/frozenemb share the real loss fn
+                # (frozenemb must match full bit-for-bit — split/join pin)
+                log(f"  loss {name}: {last:.6f}")
         log(f"RESULT grad_profile {args.task} B={B} Lt={Lt} Nb={Nb} M={M} "
             f"trial{trial}: " + " ".join(row))
     best = {k: min(v) for k, v in ms.items()}
