@@ -343,7 +343,8 @@ def main(opts):
         # per-step keys are a PURE FUNCTION of the step index (fold_in),
         # not a sequentially split chain — so a resumed run replays the
         # exact dropout/mask randomness of an uninterrupted one
-        rng_base = jax.random.PRNGKey(opts.seed + 1)
+        from uc2_tpu.config import base_prng_key
+        rng_base = base_prng_key(opts.seed + 1, opts.rng_impl)
         start = time.time()
         global_step = int(state.step)
         LOGGER.info("start training at step %d over %d tasks",
@@ -702,6 +703,11 @@ def build_parser():
     p.add_argument("--seed", type=int, default=42)
     # TPU
     p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--rng_impl", choices=["threefry2x32", "rbg"],
+                   default="threefry2x32",
+                   help="dropout PRNG: rbg = TPU hardware RngBitGenerator "
+                        "(cheaper mask generation, different streams; "
+                        "exact resume stays deterministic either way)")
     p.add_argument("--n_model", type=int, default=1,
                    help="tensor-parallel width of the mesh")
     p.add_argument("--zero1", action="store_true",

@@ -48,6 +48,16 @@ def _implied_tfs(rate_steps_s, B, Lt, Nb, M):
             + "]")
 
 
+def _mk_key(i, impl="threefry2x32"):
+    """Per-trial PRNG key under the selected impl (``rbg`` = the TPU's
+    hardware RngBitGenerator — dropout masks near-free vs software
+    threefry; raced as a train_ab arm)."""
+    import jax
+    if impl == "threefry2x32":
+        return jax.random.PRNGKey(i)
+    return jax.random.key(i, impl=impl)
+
+
 def _scoring_batch(rng, B, Lt, Nb, vocab=250002, img_dim=2048):
     import jax.numpy as jnp
     ids = rng.integers(4, vocab, (B, Lt)).astype(np.int32)
@@ -161,7 +171,7 @@ def cmd_train(args):
         batch = {k: jnp.broadcast_to(v[None], (args.accum,) + v.shape)
                  for k, v in batch.items()}
     t0 = time.time()
-    grads, m = gj(params, batch, jax.random.PRNGKey(0))
+    grads, m = gj(params, batch, _mk_key(0, args.rng_impl))
     float(m["loss"])
     params, opt_state = aj(grads, opt_state, params)
     log(f"compile {args.task} B={B}: {time.time() - t0:.1f}s")
@@ -169,7 +179,7 @@ def cmd_train(args):
     p, s = params, opt_state
     t0 = time.perf_counter()
     for i in range(n):
-        grads, m = gj(p, batch, jax.random.PRNGKey(i))
+        grads, m = gj(p, batch, _mk_key(i, args.rng_impl))
         p, s = aj(grads, s, p)
     float(m["loss"])
     dt = time.perf_counter() - t0
@@ -192,7 +202,12 @@ def cmd_train_ab(args):
     weight-gradient matmuls, so XLA could legally drop most of the
     backward-weight pass — the measured 26.5 grad-steps/s implied ~192
     TF/s, above the chip's own 125 TF/s calibration. Implied TF/s is now
-    printed next to each rate so this class of bug self-flags."""
+    printed next to each rate so this class of bug self-flags.
+
+    The ``+rbg`` arm swaps the dropout PRNG for the TPU's hardware
+    RngBitGenerator (same model/attention as pallas-train; only mask-bit
+    generation changes) — if the grad_profile full-nodrop delta is
+    threefry-dominated, this arm collects it without giving up dropout."""
     import jax
     import jax.numpy as jnp
     from uc2_tpu.config import UC2Config
@@ -215,7 +230,8 @@ def cmd_train_ab(args):
                          for bb in args.attn_bb_list.split(","))
     else:
         all_arms = (("xla", 0), ("pallas-train", 0),
-                    ("pallas-train+ce8", 8), ("pallas-train+ffnt", 0))
+                    ("pallas-train+ce8", 8), ("pallas-train+ffnt", 0),
+                    ("pallas-train+rbg", 0))
     want = set(args.arms.split(",")) if args.arms else None
     for impl, ce in all_arms:
         if want is not None and impl not in want:
@@ -248,15 +264,16 @@ def cmd_train_ab(args):
                                    length=args.iters)
             return last
 
+        kimpl = "rbg" if impl.endswith("+rbg") else "threefry2x32"
         t0 = time.time()
-        float(chain(params, batch, jax.random.PRNGKey(0)))
+        float(chain(params, batch, _mk_key(0, kimpl)))
         log(f"compile train_ab {impl}: {time.time() - t0:.1f}s")
-        arms[impl] = (chain, params)
+        arms[impl] = (chain, params, kimpl)
     for trial in range(args.trials):
         row = []
-        for impl, (chain, p) in arms.items():
+        for impl, (chain, p, kimpl) in arms.items():
             t0 = time.perf_counter()
-            float(chain(p, batch, jax.random.PRNGKey(trial)))
+            float(chain(p, batch, _mk_key(trial, kimpl)))
             dt = time.perf_counter() - t0
             rate = args.iters / dt
             row.append(f"{impl}={rate:.2f} "
@@ -373,7 +390,7 @@ def cmd_grad_profile(args):
             continue
         chain, p0 = make_chain(*spec)
         t0 = time.time()
-        float(chain(p0, batch, jax.random.PRNGKey(0)))
+        float(chain(p0, batch, _mk_key(0, args.rng_impl)))
         log(f"compile grad_profile {name}: {time.time() - t0:.1f}s")
         arms[name] = (chain, p0)
     ms = {}
@@ -381,7 +398,7 @@ def cmd_grad_profile(args):
         row = []
         for name, (chain, p0) in arms.items():
             t0 = time.perf_counter()
-            last = float(chain(p0, batch, jax.random.PRNGKey(trial)))
+            last = float(chain(p0, batch, _mk_key(trial, args.rng_impl)))
             dt = time.perf_counter() - t0
             ms.setdefault(name, []).append(1e3 * dt / args.iters)
             row.append(f"{name}={1e3 * dt / args.iters:.1f}ms")
@@ -611,6 +628,8 @@ def main():
     pt.add_argument("--masked", type=int, default=24)
     pt.add_argument("--remat", default=None)
     pt.add_argument("--ce_chunks", type=int, default=0)
+    pt.add_argument("--rng_impl", choices=["threefry2x32", "rbg"],
+                    default="threefry2x32")
     pt.set_defaults(iters=8)
     pab = sub.add_parser("train_ab"); common(pab)
     pab.add_argument("--task", default="mlm")
@@ -631,6 +650,10 @@ def main():
                      help="xla | pallas-train (default)")
     pgp.add_argument("--arms", default="",
                      help="comma list (default: all 6)")
+    pgp.add_argument("--rng_impl", choices=["threefry2x32", "rbg"],
+                     default="threefry2x32",
+                     help="dropout PRNG for all arms (full-nodrop delta "
+                          "under rbg isolates mask-apply from mask-gen)")
     pgp.add_argument("--layers", type=int, default=12,
                      help="encoder depth (shrink for CPU smoke tests)")
     pgp.set_defaults(iters=8)

@@ -126,6 +126,27 @@ def test_pretrain_reference_flag_variants(corpus, model_config, tmp_path,
     assert int(state.step) == 3
 
 
+def test_pretrain_rbg_rng_deterministic(corpus, model_config, tmp_path):
+    """--rng_impl rbg (TPU hardware RngBitGenerator dropout masks) trains
+    and stays run-to-run deterministic: the base key is typed but every
+    step still derives its key as fold_in(base, step), so two identical
+    runs are bit-identical (the streams differ from threefry — that is
+    expected and documented)."""
+    import jax
+    s1, _ = run_driver(corpus, model_config, tmp_path / "r1",
+                       extra=["--rng_impl", "rbg", "--num_train_steps", "3",
+                              "--valid_steps", "0", "--save_steps", "3"])
+    s2, _ = run_driver(corpus, model_config, tmp_path / "r2",
+                       extra=["--rng_impl", "rbg", "--num_train_steps", "3",
+                              "--valid_steps", "0", "--save_steps", "3"])
+    assert int(s1.step) == int(s2.step) == 3
+    for x, y in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        a = np.asarray(x)
+        assert np.all(np.isfinite(a))
+        np.testing.assert_array_equal(a, np.asarray(y))
+
+
 def test_pretrain_resume(corpus, model_config, tmp_path):
     """Kill at step 6 → restart → restorer resumes past step 6."""
     state, opts = run_driver(corpus, model_config, tmp_path)

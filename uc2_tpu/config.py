@@ -106,6 +106,30 @@ class UC2Config:
         return dataclasses.asdict(self)
 
 
+RNG_IMPLS = ("threefry2x32", "rbg")
+
+
+def base_prng_key(seed: int, impl: str = "threefry2x32"):
+    """Driver-level base PRNG key, selectable via ``--rng_impl``.
+
+    ``rbg`` generates random bits on the TPU's hardware RngBitGenerator
+    instead of software threefry2x32 — dropout-mask generation at
+    [B, L, H]-sized masks is effectively free on the VPU, where threefry
+    costs real grad-step time (the ``nodrop`` arm of ``tpu_measure
+    grad_profile`` measures the total; the reference has no equivalent
+    knob — torch dropout rides cuRAND). The random STREAMS differ between
+    impls, but exact-resume determinism holds for both: drivers key every
+    step as a pure function of the step index (fold_in / split chains),
+    never host entropy.
+    """
+    import jax
+    if impl == "threefry2x32":
+        # legacy uint32 key: keeps the default streams bit-identical with
+        # all previously recorded runs/tests
+        return jax.random.PRNGKey(seed)
+    return jax.random.key(seed, impl=impl)
+
+
 def parse_with_config(parser, argv: Optional[list] = None):
     """argparse wrapper: ``--config file.json`` fills flags not given on the CLI.
 

@@ -113,7 +113,8 @@ def main(opts):
             lambda p, b: model.logits(p, b, deterministic=True))
 
         meter = RunningMeter("vqa_loss")
-        rng_key = jax.random.PRNGKey(opts.seed + 1)
+        from uc2_tpu.config import base_prng_key
+        rng_key = base_prng_key(opts.seed + 1, getattr(opts, 'rng_impl', 'threefry2x32'))
         global_step = int(state.step)
         while global_step < opts.num_train_steps:
             batch = loader.next_batch()
@@ -206,6 +207,12 @@ def build_parser():
     p.add_argument("--save_steps", type=int, default=200)
     p.add_argument("--log_steps", type=int, default=100)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--rng_impl",
+                   choices=["threefry2x32", "rbg"],
+                   default="threefry2x32",
+                   help="dropout PRNG: rbg = TPU hardware "
+                        "RngBitGenerator (cheaper masks, "
+                        "different streams)")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--n_model", type=int, default=1)
     p.add_argument("--coordinator_address", type=str, default=None,
