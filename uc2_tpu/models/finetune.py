@@ -159,8 +159,8 @@ class CrossAttention(nn.Module):
             B, kv_in.shape[1], n, d)
         v = Dense(Hd, dtype=dtype, name="v")(kv_in).reshape(
             B, kv_in.shape[1], n, d)
-        scores = jnp.einsum("blnd,bmnd->bnlm", q, k,
-                            preferred_element_type=jnp.float32)
+        from uc2_tpu.ops.mp import einsum_f32
+        scores = einsum_f32("blnd,bmnd->bnlm", q, k)
         scores = scores / jnp.sqrt(d) + jnp.where(
             kv_pad[:, None, None, :], -1e4, 0.0)
         p = jax.nn.softmax(scores, axis=-1)

@@ -24,6 +24,7 @@ import numpy as np
 
 from uc2_tpu.config import UC2Config
 from uc2_tpu.models.encoder import Dense, LayerNorm, gelu
+from uc2_tpu.ops.mp import einsum_f32
 
 
 class RobertaLMHead(nn.Module):
@@ -54,8 +55,10 @@ class RobertaLMHead(nn.Module):
         if valid_ids is not None:
             table = jnp.take(embedding_table, valid_ids, axis=0)
             bias = jnp.take(bias, valid_ids, axis=0)
-        logits = jnp.dot(x, table.T.astype(dtype),
-                         preferred_element_type=jnp.float32)
+        # einsum_f32: fp32 logits forward, compute-dtype backward — the
+        # plain preferred=f32 dot made dW/dx (the model's two largest
+        # matmuls, [B·M, vocab]-sized) run f32×f32 (ops/mp.py)
+        logits = einsum_f32("...h,vh->...v", x, table.astype(dtype))
         return logits + bias.astype(jnp.float32)
 
 
@@ -77,8 +80,7 @@ class RegionFeatureRegression(nn.Module):
         # img_linear_kernel is [img_dim, hidden] (JAX [in, out] layout); its
         # transpose maps hidden → img_dim, matching the reference's
         # F.linear(h, img_linear.weight.t(), bias).
-        out = jnp.dot(x, img_linear_kernel.T.astype(dtype),
-                      preferred_element_type=jnp.float32)
+        out = einsum_f32("...h,vh->...v", x, img_linear_kernel.astype(dtype))
         return out + bias.astype(jnp.float32)
 
 
@@ -189,8 +191,7 @@ def chunked_softmax_cross_entropy(h, table, bias, labels, weights,
     def body(carry, chunk):
         m, s = carry
         tbl, b = chunk
-        logits = jnp.dot(h.astype(tbl.dtype), tbl.T,
-                         preferred_element_type=jnp.float32) \
+        logits = einsum_f32("nh,ch->nc", h.astype(tbl.dtype), tbl) \
             + b.astype(jnp.float32)                     # [N, C]
         cm = jnp.max(logits, axis=-1)
         new_m = jnp.maximum(m, cm)

@@ -31,11 +31,13 @@ def _xla_attention(q, k, v, bias, dropout_rate=0.0, dropout_rng=None):
 
     Returns [B, L, n, d].
     """
+    from uc2_tpu.ops.mp import einsum_f32
     d = q.shape[-1]
     scale = 1.0 / jnp.sqrt(d).astype(jnp.float32)
-    # [B, n, Lq, Lk], accumulated fp32 on the MXU
-    scores = jnp.einsum("blnd,bmnd->bnlm", q, k,
-                        preferred_element_type=jnp.float32)
+    # [B, n, Lq, Lk], accumulated fp32 on the MXU; einsum_f32 keeps the
+    # BACKWARD dots in the compute dtype (plain preferred_element_type=f32
+    # makes dq/dk/dp/dv run f32×f32 — ops/mp.py)
+    scores = einsum_f32("blnd,bmnd->bnlm", q, k)
     scores = scores * scale + bias.astype(jnp.float32)
     probs = jax.nn.softmax(scores, axis=-1)
     if dropout_rate > 0.0 and dropout_rng is not None:
@@ -43,8 +45,7 @@ def _xla_attention(q, k, v, bias, dropout_rate=0.0, dropout_rng=None):
                                     probs.shape)
         probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
     probs = probs.astype(v.dtype)
-    ctx = jnp.einsum("bnlm,bmnd->blnd", probs, v,
-                     preferred_element_type=jnp.float32)
+    ctx = einsum_f32("bnlm,bmnd->blnd", probs, v)
     return ctx.astype(v.dtype)
 
 
