@@ -218,6 +218,29 @@ def test_hardneg_itm(paired_corpus):
                for b in batches)
 
 
+def test_epoch_dims_track_examples(corpus, paired_corpus):
+    """The batcher routes on (txt_lens + 2, lens - txt_lens); both must
+    equal the ACTUAL example dims after every new_epoch, or swapped
+    examples mis-bucket and collate silently truncates the longer
+    swapped caption's tail. Regression for a round-4 bug: hard-neg lens
+    used `len(raw) + 2 + nbb` (derived nbb was +2 on EVERY example) and
+    never refreshed txt_lens after caption swaps (reference per-epoch
+    relen: data/itm.py:84-148)."""
+    for paths, cls in ((corpus, D.ItmDataset),
+                       (paired_corpus, D.ItmHardNegDataset)):
+        txt, img = dbs(paths)
+        ds = cls(txt, img)
+        for epoch in range(2):
+            rng = np.random.default_rng(epoch)
+            ds.new_epoch(rng)
+            for i in range(len(ds)):
+                ex = ds.get_example(i, rng)
+                assert ds.txt_lens[i] + 2 == len(ex["input_ids"]), (
+                    cls.__name__, epoch, i)
+                assert ds.lens[i] - ds.txt_lens[i] \
+                    == ex["img_feat"].shape[0], (cls.__name__, epoch, i)
+
+
 def test_rank_hardneg_group_semantics(corpus):
     """Reference ItmRankDatasetHardNeg (data/itm.py:561-613): hard negs
     ADD to the random ones (group = 1 + 2*hard + 2*rand), image slots

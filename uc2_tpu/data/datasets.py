@@ -59,6 +59,8 @@ class ConcatDataset:
             if hasattr(d, "new_epoch"):
                 d.new_epoch(rng)
         self.lens = [l for d in self.datasets for l in d.lens]
+        # hard-neg caption swaps change per-epoch TEXT lengths too
+        self.txt_lens = [l for d in self.datasets for l in d.txt_lens]
 
     def collate(self, examples, spec):
         return self.datasets[0].collate(examples, spec)
@@ -510,7 +512,8 @@ class ItmHardNegDataset(ItmDataset):
     def new_epoch(self, rng):
         self.labels = (rng.random(len(self.ids))
                        >= self.neg_sample_p).astype(np.int32)
-        self.train_imgs, self.train_raw_ids, lens = [], [], []
+        self.train_imgs, self.train_raw_ids = [], []
+        txt_lens, lens = [], []
         neg_img, neg_l1, neg_l2 = self.neg_split
         for i, id_ in enumerate(self.ids):
             rec = self.example_record(i)
@@ -535,7 +538,17 @@ class ItmHardNegDataset(ItmDataset):
                     raw = l1 + [sep, sep] + l2
             self.train_imgs.append(fname)
             self.train_raw_ids.append(raw)
-            lens.append(len(raw) + 2 + self.img_db.name2nbb[fname])
+            # base-class convention: txt_lens = RAW token count (the loader
+            # adds +2 for CLS/SEP), lens = txt + nbb. Both must track the
+            # per-epoch swaps: a caption swap changes the text length and
+            # an image swap changes nbb — stale dims mis-bucket the example
+            # and collate then silently TRUNCATES the tail of the longer
+            # swapped caption (regression: test_data_pipeline's
+            # hard-neg dims test; bug found round 4, derived nbb was +2 on
+            # every example and eff-txt was stale on every caption swap)
+            txt_lens.append(len(raw))
+            lens.append(len(raw) + self.img_db.name2nbb[fname])
+        self.txt_lens = txt_lens
         self.lens = lens
 
     def get_example(self, i, rng):
