@@ -189,3 +189,17 @@ def test_profitability_gate():
     assert fused_block_profitable(162, 12)        # Nb=100 bucket
     assert fused_block_profitable(128, 12)        # Nb=66: wins in-graph
     assert not fused_block_profitable(98, 12)     # Nb=36 (XLA faster, small)
+
+
+def test_snap_bb_modes(monkeypatch):
+    """gcd default degenerates to 1 on coprime budgets (the shipping
+    behavior at every eval bucket: bb=3/5/9 vs B=64); UC2_BB_SNAP=div
+    picks the largest divisor of B under the same VMEM budget."""
+    from uc2_tpu.ops.tiles import snap_bb
+    monkeypatch.delenv("UC2_BB_SNAP", raising=False)
+    # gcd mode must stay bit-identical to the raced shipping behavior,
+    # including the bb > B corner (gcd(100, 64) = 4, not 64)
+    assert [snap_bb(b, 64) for b in (3, 5, 9, 16, 100)] == [1, 1, 1, 16, 4]
+    monkeypatch.setenv("UC2_BB_SNAP", "div")
+    assert [snap_bb(b, 64) for b in (3, 5, 9, 16, 100)] == [2, 4, 8, 16, 64]
+    assert snap_bb(0, 64) == 1 and snap_bb(7, 1) == 1

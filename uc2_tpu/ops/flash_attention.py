@@ -266,7 +266,8 @@ def _train_bb(B, n, L):
     import os
     env = int(os.environ.get("UC2_ATTN_TRAIN_BB", "0"))
     bb = env if env > 0 else max(1, (4 * 1024 * 1024) // (4 * n * L * L * 4))
-    return math.gcd(bb, B)
+    from uc2_tpu.ops.tiles import snap_bb
+    return snap_bb(bb, B)   # gcd default; UC2_BB_SNAP=div for A/Bs
 
 
 def _fwd_train(q, k, v, bias, seed, rate, interpret=False):

@@ -90,7 +90,8 @@ def fused_attn_block(q, k, v, bias, x, wo, bo, gamma, beta,
         BB = int(os.environ["UC2_ATTN_BB"])   # in-graph tile A/Bs
     if BB <= 0:
         BB = max(1, (4 * 1024 * 1024) // (n * L * L * 4))
-    BB = math.gcd(BB, B)
+    from uc2_tpu.ops.tiles import snap_bb
+    BB = snap_bb(BB, B)   # gcd by default; UC2_BB_SNAP=div for A/Bs
     kernel = functools.partial(_block_kernel, scale=1.0 / math.sqrt(d),
                                n=n, L=L, d=d, eps=float(eps))
     bspec = lambda shape, im: pl.BlockSpec(shape, im,
