@@ -147,6 +147,54 @@ def test_mrfr_and_nlvr2_grad_dots_are_bf16():
     assert not bad, f"non-bf16 matmul operands in nlvr2 grad: {bad}"
 
 
+DOTFULL = re.compile(
+    r"stablehlo\.dot_general [^,]+, [^,]+,"
+    r"(?: batching_dims = \[([0-9, ]*)\] x \[[0-9, ]*\],)?"
+    r" contracting_dims = \[([0-9, ]*)\] x \[[0-9, ]*\][^:]*:"
+    r" \(tensor<([^>]*)>, tensor<([^>]*)>\) -> tensor<([^>]*)>")
+
+
+def _hlo_dot_flops(stablehlo_text) -> int:
+    """Σ 2·prod(out)·prod(contracting) over every dot_general."""
+    import math
+    total = 0
+    for m in DOTFULL.finditer(stablehlo_text):
+        _, cdims, lhs, _rhs, out = m.groups()
+        lshape = [int(x) for x in lhs.split("x")[:-1]]
+        oshape = [int(x) for x in out.split("x")[:-1]]
+        cont = [int(x) for x in cdims.replace(" ", "").split(",") if x]
+        total += (2 * math.prod(oshape or [1])
+                  * math.prod(lshape[c] for c in cont))
+    return total
+
+
+def test_flops_model_matches_lowered_grad_program():
+    """Cross-validates utils/flops.grad_flops_per_example — the model
+    every MFU / implied-TF/s headline divides by (DESIGN.md post-mortems:
+    'every absolute number needs a FLOPs cross-check') — against the
+    ACTUAL lowered mlm grad program: Σ 2·prod(out)·prod(contract) over
+    its dot_generals. Measured ratio 0.9998 at this config; the ±5% band
+    catches both directions of drift — a remat/duplicate-compute
+    regression inflates program FLOPs, a dead-code or model change
+    deflates them — without tripping on elementwise-op noise (non-dot
+    ops carry negligible FLOPs)."""
+    model = UC2ForPretraining(CFG)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    B, Lt, Nb, M_ = 8, 12, 8, 4
+    batch = {**_batch(rng, B=B, Lt=Lt, Nb=Nb), **_mlm_extras(rng, B=B,
+                                                             Lt=Lt, M_=M_)}
+    loss_fn = make_loss_fn(model, "mlm")
+    txt = jax.jit(lambda p, b, k: jax.value_and_grad(
+        loss_fn, has_aux=True)(p, b, k)[1]).lower(
+        params, batch, jax.random.PRNGKey(0)).as_text()
+    from uc2_tpu.utils.flops import grad_flops_per_example
+    got = _hlo_dot_flops(txt)
+    want = B * grad_flops_per_example(Lt, Nb, M_, n_layers=2, H=64,
+                                      F=128, V=512, img_dim=16)
+    assert 0.95 < got / want < 1.05, (got, want, got / want)
+
+
 def test_fp32_mode_has_no_bf16_dots():
     """The inverse guard: dtype=float32 (the fp32 parity configuration)
     must not silently downcast any matmul — parity tests depend on it."""
