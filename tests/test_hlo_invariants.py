@@ -195,6 +195,26 @@ def test_flops_model_matches_lowered_grad_program():
     assert 0.95 < got / want < 1.05, (got, want, got / want)
 
 
+def test_flops_per_pair_matches_lowered_scoring_program():
+    """Same cross-check for the scoring side: bench.py's per-bucket MFU
+    fields divide measured rates by encoder_fwd_flops_per_pair — pin that
+    model to the actual lowered scoring program. The program additionally
+    carries the img/pos embedding projections, pooler and rank head the
+    model deliberately omits (sub-% at production shapes, a few % at this
+    tiny config), so the band is one-sided: the program may exceed the
+    model slightly, never undershoot it."""
+    from uc2_tpu.utils.flops import encoder_fwd_flops_per_pair
+    model = UC2ForImageTextRetrieval(CFG)
+    params = model.init_params(jax.random.PRNGKey(0))
+    B, Lt, Nb = 8, 12, 8
+    batch = _batch(np.random.default_rng(3), B=B, Lt=Lt, Nb=Nb)
+    txt = jax.jit(
+        lambda p, b: model.scores(p, b)).lower(params, batch).as_text()
+    got = _hlo_dot_flops(txt)
+    want = B * encoder_fwd_flops_per_pair(Lt + Nb, n_layers=2, H=64, F=128)
+    assert 1.0 <= got / want < 1.15, (got, want, got / want)
+
+
 def test_fp32_mode_has_no_bf16_dots():
     """The inverse guard: dtype=float32 (the fp32 parity configuration)
     must not silently downcast any matmul — parity tests depend on it."""
