@@ -331,5 +331,26 @@ def main():
     }))
 
 
+def _is_backend_init_failure(e: BaseException) -> bool:
+    s = str(e)
+    return ("Unable to initialize backend" in s
+            or "TPU backend setup/compile error" in s
+            or "UNAVAILABLE" in s or "DEADLINE_EXCEEDED" in s)
+
+
 if __name__ == "__main__":
-    main()
+    # Transient-tunnel resilience: a failed backend init is CACHED by jax
+    # for the life of the process, so an in-process retry is useless — on
+    # an init-class failure, re-exec ourselves (bounded) for a fresh
+    # attempt. Anything else (a real bug) propagates immediately.
+    try:
+        main()
+    except Exception as e:                          # noqa: BLE001
+        tries = int(os.environ.get("UC2_BENCH_RETRY", "0"))
+        if _is_backend_init_failure(e) and tries < 2:
+            print(f"bench: backend init failed ({type(e).__name__}), "
+                  f"re-exec retry {tries + 1}/2 in 60s", file=sys.stderr)
+            time.sleep(60)
+            os.environ["UC2_BENCH_RETRY"] = str(tries + 1)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise

@@ -65,3 +65,16 @@ def test_flops_model_single_source():
     # sanity: one L=162 pair is ~28 GFLOPs forward (12 layers × ~2.4G:
     # 8LH² proj + 4LHF ffn + 4L²H attn) — order-of-magnitude pin
     assert 1e10 < F.encoder_fwd_flops_per_pair(162) < 1e11
+
+
+def test_backend_init_failure_predicate():
+    # the round driver gets ONE bench run; on an init-class tunnel failure
+    # bench re-execs itself (bounded) instead of losing the round's JSON.
+    # Real bugs must NOT match — they propagate immediately.
+    transient = RuntimeError(
+        "Unable to initialize backend 'axon': UNAVAILABLE: "
+        "TPU backend setup/compile error (Unavailable).")
+    assert bench._is_backend_init_failure(transient)
+    assert bench._is_backend_init_failure(RuntimeError("DEADLINE_EXCEEDED"))
+    assert not bench._is_backend_init_failure(ValueError("bad shape"))
+    assert not bench._is_backend_init_failure(KeyError("img_feat"))
