@@ -90,18 +90,40 @@ def main(opts):
         return DetectFeatDb(spec, opts.conf_th, opts.max_bb,
                             opts.min_bb, opts.num_bb)
 
-    # ---- data: train texts shard per host (reference data/data.py:201-203)
-    txt_db = TxtTokDb(opts.train_txt_db, max_txt_len=opts.max_txt_len,
-                      shard=(MH.process_index(), MH.process_count())
-                      if multi else None)
-    img_db = open_img_db(opts.train_img_db)
-    if opts.hard_neg_size > 0:
-        dataset = D.ItmRankHardNegDataset(txt_db, img_db,
-                                          opts.negative_size,
-                                          opts.hard_neg_size)
+    # ---- data: train texts shard per host (reference data/data.py:201-203).
+    # Multi-db: --train_txt_db may be a JSON list (the reference's
+    # train_txt_dbs, config/uc2_mscoco_itm.json:41-57 — the multilingual
+    # COCO recipe concatenates en/ja/zh pairs); --train_img_db then lists
+    # one spec per txt db, each itself a path or a 2-list routing spec
+    # (the COCO-CN split-spanning case).
+    txt_specs = opts.train_txt_db
+    if isinstance(txt_specs, str) and txt_specs.lstrip().startswith("["):
+        txt_specs = json.loads(txt_specs)
+    if not isinstance(txt_specs, (list, tuple)):
+        txt_specs = [txt_specs]
+    if len(txt_specs) > 1:
+        img_specs = opts.train_img_db
+        if isinstance(img_specs, str):
+            img_specs = json.loads(img_specs)
+        assert isinstance(img_specs, (list, tuple)) \
+            and len(img_specs) == len(txt_specs), \
+            "--train_img_db must list one spec per train txt db"
     else:
-        dataset = D.ItmRankDataset(txt_db, img_db, opts.negative_size)
-    sample_size = dataset.sample_size
+        # single-db: a list-valued img spec is the ROUTING form
+        img_specs = [opts.train_img_db]
+    shard = ((MH.process_index(), MH.process_count()) if multi else None)
+    pairs = [(TxtTokDb(t, max_txt_len=opts.max_txt_len, shard=shard),
+              open_img_db(im))
+             for t, im in zip(txt_specs, img_specs)]
+    if opts.hard_neg_size > 0:
+        subs = [D.ItmRankHardNegDataset(t, im, opts.negative_size,
+                                        opts.hard_neg_size)
+                for t, im in pairs]
+    else:
+        subs = [D.ItmRankDataset(t, im, opts.negative_size)
+                for t, im in pairs]
+    dataset = subs[0] if len(subs) == 1 else D.ConcatDataset(subs)
+    sample_size = subs[0].sample_size
     group_count = max(1, opts.train_batch_size // sample_size)
     # flattened rows (groups × sample_size) should divide the data axis
     n_data = len(__import__("jax").devices()) // opts.n_model
@@ -219,14 +241,28 @@ def main(opts):
         rng_key = base_prng_key(opts.seed + 1, getattr(opts, 'rng_impl', 'threefry2x32'))
         global_step = int(state.step)
 
-        def _mine_path(step):
+        def _mine_path(step, db_idx=0):
             # per-HOST artifact under multi-host: txt_db is shard-striped,
             # so each host mines a host-distinct pool — one shared filename
             # would race concurrent writers on the shared output_dir
             tag = f"hard_negs_{step}"
+            if len(pairs) > 1:
+                tag += f".db{db_idx}"
             if multi:
                 tag += f".host{MH.process_index()}"
             return os.path.join(opts.output_dir, tag + ".json")
+
+        def mine_all(step):
+            # pools are per (txt_db, img_db) pair: negatives must come from
+            # the SAME language/db an anchor trains against (the reference
+            # mines per train dataloader, itm.py:385-445)
+            for k, ((tdb_k, idb_k), sub) in enumerate(zip(pairs, subs)):
+                sub.reload_hard_negs(mine_hard_negatives(
+                    model, host_params(state), tdb_k, idb_k,
+                    opts.max_txt_len + 2, opts.max_bb,
+                    hard_neg_size=opts.hard_neg_pool_size,
+                    batch_size=opts.eval_batch_size,
+                    out_path=_mine_path(step, k)))
 
         if opts.hard_neg_size > 0:
             # reference mines once BEFORE training starts (itm.py:233-235)
@@ -234,12 +270,7 @@ def main(opts):
             # hard_neg_size alone: the dataset selects hard slots on it, so
             # leaving --hard_neg_steps at 0 must still seed the pools
             LOGGER.info("initial hard-negative mining")
-            dataset.reload_hard_negs(mine_hard_negatives(
-                model, host_params(state), txt_db, img_db,
-                opts.max_txt_len + 2, opts.max_bb,
-                hard_neg_size=opts.hard_neg_pool_size,
-                batch_size=opts.eval_batch_size,
-                out_path=_mine_path(0)))
+            mine_all(0)
             if not opts.hard_neg_steps:
                 LOGGER.warning("--hard_neg_steps=0: pools mined once at "
                                "start, periodic re-mining disabled")
@@ -296,13 +327,7 @@ def main(opts):
             if (opts.hard_neg_size > 0 and opts.hard_neg_steps
                     and global_step % opts.hard_neg_steps == 0):
                 LOGGER.info("mining hard negatives at step %d", global_step)
-                hard = mine_hard_negatives(
-                    model, host_params(state), txt_db, img_db,
-                    opts.max_txt_len + 2, opts.max_bb,
-                    hard_neg_size=opts.hard_neg_pool_size,
-                    batch_size=opts.eval_batch_size,
-                    out_path=_mine_path(global_step))
-                dataset.reload_hard_negs(hard)
+                mine_all(global_step)
             # all hosts (collective gather under zero1; write=is_main)
             restorer.step(global_step, state)
 
@@ -408,6 +433,74 @@ def build_parser():
     return p
 
 
+def apply_reference_config_compat(opts, parser=None, argv=None):
+    """Map the reference's own itm config keys onto this driver's flags so
+    an existing ``uc2_mscoco_itm.json`` works after path conversion
+    (reference key inventory: /root/reference/config/uc2_mscoco_itm.json;
+    its loader semantics — CLI wins over JSON — are utils/misc.py:23-33,
+    so a mapped key only fills a flag still at its parser default).
+
+    Same-named keys (margin, learning_rate, betas, …) need no mapping —
+    ``parse_with_config`` already set them. This handles the renames:
+    plural db lists, 1-element val lists, test_txt_db/test_img_db →
+    ``--test_datasets``, steps_per_hard_neg → ``--hard_neg_steps``,
+    inf_minibatch_size → ``--eval_batch_size``.
+    """
+    import sys
+    src = argv if argv is not None else sys.argv[1:]
+    overridden = {a[2:].split("=")[0] for a in src if a.startswith("--")}
+
+    def fill(name, value):
+        # CLI wins even when the passed value equals the parser default
+        if name in overridden:
+            return
+        default = parser.get_default(name) if parser is not None else None
+        if getattr(opts, name, None) == default:
+            setattr(opts, name, value)
+
+    if getattr(opts, "train_txt_dbs", None) is not None:
+        fill("train_txt_db", opts.train_txt_dbs)
+    if getattr(opts, "train_img_dbs", None) is not None:
+        fill("train_img_db", opts.train_img_dbs)
+    # reference val_txt_db/val_img_db are (1-element) LISTS; ours are
+    # single paths. Only a list-valued val_txt_db marks the reference
+    # form — a list-valued val_img_db alone is OUR routing spec.
+    vt = getattr(opts, "val_txt_db", None)
+    if isinstance(vt, (list, tuple)):
+        if len(vt) > 1:
+            LOGGER.warning("val_txt_db lists %d dbs; validating on the "
+                           "first (put the rest in --test_datasets)",
+                           len(vt))
+        opts.val_txt_db = vt[0] if vt else None
+        vi = getattr(opts, "val_img_db", None)
+        if isinstance(vi, (list, tuple)):
+            opts.val_img_db = vi[0] if vi else None
+    tt = getattr(opts, "test_txt_db", None)
+    if tt and getattr(opts, "test_datasets", None) is None:
+        ti = getattr(opts, "test_img_db", None)
+        if isinstance(tt, str):
+            tt = [tt]
+        if isinstance(ti, str) or ti is None:
+            ti = [ti] * len(tt)
+        opts.test_datasets = [
+            {"db": d, "img": im,
+             "name": os.path.basename(str(d).rstrip("/"))}
+            for d, im in zip(tt, ti)]
+    sp = getattr(opts, "steps_per_hard_neg", None)
+    if sp is not None and sp > 0:
+        fill("hard_neg_steps", sp)
+    imb = getattr(opts, "inf_minibatch_size", None)
+    if imb:
+        fill("eval_batch_size", imb)
+    tl = getattr(opts, "train_loss", None)
+    if tl not in (None, "rank"):
+        raise SystemExit(f"train_loss={tl!r}: only the reference's "
+                         "shipping 'rank' objective is supported")
+    return opts
+
+
 if __name__ == "__main__":
-    opts = parse_with_config(build_parser())
+    parser = build_parser()
+    opts = parse_with_config(parser)
+    apply_reference_config_compat(opts, parser)
     main(opts)
