@@ -733,6 +733,25 @@ def build_parser():
     return p
 
 
+def apply_reference_config_compat(opts, argv=None):
+    """Accept the reference's own pretrain config keys where ours are
+    renamed (reference config/uc2_pretrain.json — note that file ships
+    with a trailing comma and is not even valid JSON; fix the comma and
+    it loads here). The dataset-spec shape
+    (train_datasets[].{name,db,img,tasks,mix_ratio,img_token_soft_label})
+    is identical and needs no mapping. CLI wins over a mapped key."""
+    import sys
+    src = argv if argv is not None else sys.argv[1:]
+    overridden = {a[2:].split("=")[0] for a in src if a.startswith("--")}
+    for ref_key, our_key in (("co_masking_mode", "comasking_mode"),
+                             ("neg_size", "nce_neg_size")):
+        v = getattr(opts, ref_key, None)
+        if v is not None and our_key not in overridden:
+            setattr(opts, our_key, v)
+    return opts
+
+
 if __name__ == "__main__":
     opts = parse_with_config(build_parser())
+    apply_reference_config_compat(opts)
     main(opts)

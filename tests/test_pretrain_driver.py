@@ -199,3 +199,24 @@ def test_pretrain_exact_resume(corpus, model_config, tmp_path):
     for x, c, y in zip(la, lc, lb):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
         np.testing.assert_array_equal(np.asarray(c), np.asarray(y))
+
+
+def test_pretrain_reference_config_compat(tmp_path):
+    """pretrain.py maps the reference's renamed config keys
+    (co_masking_mode → comasking_mode, neg_size → nce_neg_size) with
+    CLI-wins semantics (reference loader: utils/misc.py:23-33)."""
+    import json as _json
+    import pretrain
+    p = tmp_path / "ref_pretrain.json"
+    p.write_text(_json.dumps({"co_masking_mode": "full",
+                              "neg_size": 256}))
+    argv = ["--config", str(p)]
+    opts = pretrain.parse_with_config(pretrain.build_parser(), argv)
+    pretrain.apply_reference_config_compat(opts, argv)
+    assert opts.comasking_mode == "full"
+    assert opts.nce_neg_size == 256
+    argv2 = ["--config", str(p), "--comasking_mode", "mix"]
+    opts2 = pretrain.parse_with_config(pretrain.build_parser(), argv2)
+    pretrain.apply_reference_config_compat(opts2, argv2)
+    assert opts2.comasking_mode == "mix"
+    assert opts2.nce_neg_size == 256
