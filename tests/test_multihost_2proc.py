@@ -87,6 +87,32 @@ t.join(timeout=120)
 assert not t.is_alive(), "kv broadcast deadlocked"
 assert res == {i: {"win": i, "val": 42} for i in range(3)}, res
 
+# ---- part 1c: itm rank finetune, MULTI-DB + hard-neg mining under 2
+# processes: texts shard per host per db; the initial mining pass writes
+# per-db per-HOST artifacts (one shared filename would race writers on
+# the shared output_dir)
+import itm
+itm_argv = [
+    "--model_config", meta["model_config"],
+    "--output_dir", os.path.join(tmp, "itm_out"),
+    "--train_txt_db", json.dumps([meta["txt_db"], meta["txt_db2"]]),
+    "--train_img_db", json.dumps([meta["img_db"], meta["img_db2"]]),
+    "--max_txt_len", "18", "--max_bb", "12", "--min_bb", "4",
+    "--train_batch_size", "14", "--eval_batch_size", "8",
+    "--num_train_steps", "2", "--warmup_steps", "1",
+    "--valid_steps", "0", "--save_steps", "5", "--log_steps", "1",
+    "--hard_neg_size", "2",
+    "--dtype", "float32", "--seed", "0",
+]
+iopts = itm.parse_with_config(itm.build_parser(), itm_argv)
+istate, _ = itm.main(iopts)
+assert int(istate.step) == 2, int(istate.step)
+for k in (0, 1):
+    mine = os.path.join(tmp, "itm_out", f"hard_negs_0.db{k}.host{pid}.json")
+    assert os.path.exists(mine), mine
+    pools = json.load(open(mine))
+    assert pools["txt2hardimgs"] and pools["img2hardtxts"]
+
 # ---- part 2: host-sharded retrieval eval == 1-process metrics
 from uc2_tpu.config import UC2Config
 from uc2_tpu.data.db import DetectFeatDb
@@ -138,8 +164,12 @@ def test_two_process_train_and_eval(tmp_path):
         "use_pallas_attention": False}
     cfgp = tmp_path / "tiny.json"
     cfgp.write_text(json.dumps(model_cfg))
+    corpus2 = synth_corpus(str(tmp_path / "c2"), n_imgs=12, txt_per_img=2,
+                           min_bb=4, max_bb=12, img_dim=16, n_classes=11,
+                           seed=23, max_words=7, vocab=512)
     (tmp_path / "meta.json").write_text(json.dumps({
         "txt_db": corpus["txt_db"], "img_db": corpus["img_db"],
+        "txt_db2": corpus2["txt_db"], "img_db2": corpus2["img_db"],
         "model_config": str(cfgp)}))
     wpath = tmp_path / "worker.py"
     wpath.write_text(WORKER)
