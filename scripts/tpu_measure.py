@@ -231,7 +231,7 @@ def cmd_train_ab(args):
     else:
         all_arms = (("xla", 0), ("pallas-train", 0),
                     ("pallas-train+ce8", 8), ("pallas-train+ffnt", 0),
-                    ("pallas-train+rbg", 0))
+                    ("pallas-train+rbg", 0), ("pallas-train+native", 0))
     want = set(args.arms.split(",")) if args.arms else None
     for impl, ce in all_arms:
         if want is not None and impl not in want:
@@ -240,6 +240,12 @@ def cmd_train_ab(args):
         os.environ["UC2_FFN_TRAIN"] = "1" if impl.endswith("ffnt") else "0"
         os.environ["UC2_ATTN_TRAIN_BB"] = (impl.split("@bb")[1]
                                            if "@bb" in impl else "0")
+        # +native: q/k/v head-axis move happens in VMEM inside the train
+        # kernel instead of host-side HBM transposes around the custom
+        # call (bitwise-identical program, test_flash_train pin)
+        os.environ["UC2_ATTN_TRAIN_LAYOUT"] = ("native"
+                                               if impl.endswith("+native")
+                                               else "")
         cfg = UC2Config(dtype=args.dtype,
                         use_pallas_attention=(False if impl == "xla"
                                               else "pallas-train"))

@@ -129,3 +129,32 @@ def _check_backward_is_gradient(rate, B, L, n, d):
         an = jnp.sum(grads[arg_idx] * direction)
         assert float(fd) == pytest.approx(float(an), rel=2e-2, abs=2e-2), \
             (name, float(fd), float(an))
+
+
+@pytest.mark.parametrize("rate", [0.0, 0.25])
+def test_native_layout_arm_bitwise_equal(rate, monkeypatch):
+    """UC2_ATTN_TRAIN_LAYOUT=native (head-axis move in VMEM instead of
+    host-side HBM transposes around the custom call) is the SAME program:
+    same BB, same program_id, same [BB*n, L, L] mask shape — forward and
+    every gradient must match the default arm bitwise."""
+    q, k, v, bias = _inputs(seed=3)
+    w = jnp.asarray(np.random.default_rng(4).standard_normal((B, L, n, d)),
+                    jnp.float32)
+
+    def run():
+        fa = functools.partial(flash_attention_train, rate=rate,
+                               interpret=True)
+        out = fa(q, k, v, bias, jnp.int32(11))
+        grads = jax.grad(lambda q, k, v, bias: jnp.sum(
+            fa(q, k, v, bias, jnp.int32(11)) * w),
+            argnums=(0, 1, 2, 3))(q, k, v, bias)
+        return out, grads
+
+    monkeypatch.delenv("UC2_ATTN_TRAIN_LAYOUT", raising=False)
+    out0, g0 = run()
+    monkeypatch.setenv("UC2_ATTN_TRAIN_LAYOUT", "native")
+    out1, g1 = run()
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(out1))
+    for a, b, name in zip(g0, g1, ("dq", "dk", "dv", "dbias")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)

@@ -182,12 +182,39 @@ def _probs(q, k, bias, scale, BB, n, L):
     return e / jnp.sum(e, axis=-1, keepdims=True)      # fp32 [BB*n, L, L]
 
 
+def _load_heads(ref, n, L, d, native):
+    """VMEM block → [BB*n, L, d] batched-dot operand.
+
+    native=False: block is [BB, n, L, d] (host-side XLA transpose produced
+    it). native=True: block is the encoder's untouched [BB, L, n, d] —
+    the head-axis move happens HERE, in VMEM, so no [B, L, n, d] →
+    [B, n, L, d] pass ever hits HBM around the custom call."""
+    x = ref[...]
+    BB = x.shape[0]
+    if native:
+        x = x.transpose(0, 2, 1, 3)
+    return x.reshape(BB * n, L, d)
+
+
+def _store_heads(ref, x, BB, n, L, d, native):
+    x = x.reshape(BB, n, L, d)
+    if native:
+        x = x.transpose(0, 2, 1, 3)
+    ref[...] = x.astype(ref.dtype)
+
+
+def _train_native():
+    import os
+    return os.environ.get("UC2_ATTN_TRAIN_LAYOUT") == "native"
+
+
 def _attn_train_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
-                           *, scale, n, L, d, rate, interpret=False):
+                           *, scale, n, L, d, rate, interpret=False,
+                           native=False):
     BB = q_ref.shape[0]
-    q = q_ref[...].reshape(BB * n, L, d)
-    k = k_ref[...].reshape(BB * n, L, d)
-    v = v_ref[...].reshape(BB * n, L, d)
+    q = _load_heads(q_ref, n, L, d, native)
+    k = _load_heads(k_ref, n, L, d, native)
+    v = _load_heads(v_ref, n, L, d, native)
     bias = bias_ref[...].reshape(BB, 1, 1, L)
     p = _probs(q, k, bias, scale, BB, n, L)
     if rate > 0.0:
@@ -198,17 +225,18 @@ def _attn_train_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
         p.astype(v.dtype), v,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    o_ref[...] = o.reshape(BB, n, L, d).astype(o_ref.dtype)
+    _store_heads(o_ref, o, BB, n, L, d, native)
 
 
 def _attn_train_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
                            dq_ref, dk_ref, dv_ref, db_ref,
-                           *, scale, n, L, d, rate, interpret=False):
+                           *, scale, n, L, d, rate, interpret=False,
+                           native=False):
     BB = q_ref.shape[0]
-    q = q_ref[...].reshape(BB * n, L, d)
-    k = k_ref[...].reshape(BB * n, L, d)
-    v = v_ref[...].reshape(BB * n, L, d)
-    g = g_ref[...].reshape(BB * n, L, d)
+    q = _load_heads(q_ref, n, L, d, native)
+    k = _load_heads(k_ref, n, L, d, native)
+    v = _load_heads(v_ref, n, L, d, native)
+    g = _load_heads(g_ref, n, L, d, native)
     bias = bias_ref[...].reshape(BB, 1, 1, L)
     p = _probs(q, k, bias, scale, BB, n, L)
     if rate > 0.0:
@@ -239,9 +267,9 @@ def _attn_train_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
     dk = jax.lax.dot_general(
         dsl, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale
-    dq_ref[...] = dq.reshape(BB, n, L, d).astype(dq_ref.dtype)
-    dk_ref[...] = dk.reshape(BB, n, L, d).astype(dk_ref.dtype)
-    dv_ref[...] = dv.reshape(BB, n, L, d).astype(dv_ref.dtype)
+    _store_heads(dq_ref, dq, BB, n, L, d, native)
+    _store_heads(dk_ref, dk, BB, n, L, d, native)
+    _store_heads(dv_ref, dv, BB, n, L, d, native)
     # bias broadcasts over heads and queries → sum both
     db = jnp.sum(ds.reshape(BB, n, L, L), axis=(1, 2))
     db_ref[...] = db.reshape(BB, 1, 1, L)
@@ -272,11 +300,22 @@ def _train_bb(B, n, L):
 
 def _fwd_train(q, k, v, bias, seed, rate, interpret=False):
     B, L, n, d = q.shape
-    qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+    native = _train_native()
+    if native:
+        # UC2_ATTN_TRAIN_LAYOUT=native race arm: blocks read the encoder's
+        # [B, L, n, d] directly; the head-axis move happens in VMEM inside
+        # the kernel (identical math/dropout streams — same BB, same
+        # program_id, same [BB*n, L, L] mask shape)
+        qt, kt, vt = q, k, v
+        blk = lambda BB: (BB, L, n, d)
+    else:
+        qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+        blk = lambda BB: (BB, n, L, d)
     BB = _train_bb(B, n, L)
     kernel = functools.partial(_attn_train_fwd_kernel,
                                scale=1.0 / math.sqrt(d), n=n, L=L, d=d,
-                               rate=float(rate), interpret=interpret)
+                               rate=float(rate), interpret=interpret,
+                               native=native)
     # index maps under PrefetchScalarGridSpec also receive the scalar refs
     spec = lambda shape: pl.BlockSpec(shape, lambda b, *_: (b, 0, 0, 0),
                                       memory_space=pltpu.VMEM)
@@ -285,26 +324,36 @@ def _fwd_train(q, k, v, bias, seed, rate, interpret=False):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B // BB,),
-            in_specs=[spec((BB, n, L, d))] * 3 + [spec((BB, 1, 1, L))],
-            out_specs=spec((BB, n, L, d)),
+            in_specs=[spec(blk(BB))] * 3 + [spec((BB, 1, 1, L))],
+            out_specs=spec(blk(BB)),
         ),
-        out_shape=jax.ShapeDtypeStruct((B, n, L, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, L, n, d) if native
+                                       else (B, n, L, d), q.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * B * n * L * L * d,
             bytes_accessed=(4 * B * L * n * d) * q.dtype.itemsize,
             transcendentals=B * n * L * L),
     )(jnp.asarray(seed, jnp.int32).reshape(1), qt, kt, vt, bias)
-    return out.transpose(0, 2, 1, 3)
+    return out if native else out.transpose(0, 2, 1, 3)
 
 
 def _bwd_train(q, k, v, bias, seed, rate, g, interpret=False):
     B, L, n, d = q.shape
-    qt, kt, vt, gt = (x.transpose(0, 2, 1, 3) for x in (q, k, v, g))
+    native = _train_native()
+    if native:
+        qt, kt, vt, gt = q, k, v, g
+        blk = lambda BB: (BB, L, n, d)
+        oshape = (B, L, n, d)
+    else:
+        qt, kt, vt, gt = (x.transpose(0, 2, 1, 3) for x in (q, k, v, g))
+        blk = lambda BB: (BB, n, L, d)
+        oshape = (B, n, L, d)
     BB = _train_bb(B, n, L)
     kernel = functools.partial(_attn_train_bwd_kernel,
                                scale=1.0 / math.sqrt(d), n=n, L=L, d=d,
-                               rate=float(rate), interpret=interpret)
+                               rate=float(rate), interpret=interpret,
+                               native=native)
     spec = lambda shape: pl.BlockSpec(shape, lambda b, *_: (b, 0, 0, 0),
                                       memory_space=pltpu.VMEM)
     dq, dk, dv, db = pl.pallas_call(
@@ -312,14 +361,14 @@ def _bwd_train(q, k, v, bias, seed, rate, g, interpret=False):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B // BB,),
-            in_specs=[spec((BB, n, L, d))] * 3 + [spec((BB, 1, 1, L)),
-                                                  spec((BB, n, L, d))],
-            out_specs=(spec((BB, n, L, d)), spec((BB, n, L, d)),
-                       spec((BB, n, L, d)), spec((BB, 1, 1, L))),
+            in_specs=[spec(blk(BB))] * 3 + [spec((BB, 1, 1, L)),
+                                            spec(blk(BB))],
+            out_specs=(spec(blk(BB)), spec(blk(BB)),
+                       spec(blk(BB)), spec((BB, 1, 1, L))),
         ),
-        out_shape=(jax.ShapeDtypeStruct((B, n, L, d), q.dtype),
-                   jax.ShapeDtypeStruct((B, n, L, d), k.dtype),
-                   jax.ShapeDtypeStruct((B, n, L, d), v.dtype),
+        out_shape=(jax.ShapeDtypeStruct(oshape, q.dtype),
+                   jax.ShapeDtypeStruct(oshape, k.dtype),
+                   jax.ShapeDtypeStruct(oshape, v.dtype),
                    jax.ShapeDtypeStruct((B, 1, 1, L), jnp.float32)),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -327,8 +376,9 @@ def _bwd_train(q, k, v, bias, seed, rate, g, interpret=False):
             bytes_accessed=(8 * B * L * n * d) * q.dtype.itemsize,
             transcendentals=B * n * L * L),
     )(jnp.asarray(seed, jnp.int32).reshape(1), qt, kt, vt, bias, gt)
-    return (dq.transpose(0, 2, 1, 3), dk.transpose(0, 2, 1, 3),
-            dv.transpose(0, 2, 1, 3), db.astype(bias.dtype))
+    if not native:
+        dq, dk, dv = (x.transpose(0, 2, 1, 3) for x in (dq, dk, dv))
+    return dq, dk, dv, db.astype(bias.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
