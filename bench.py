@@ -283,6 +283,20 @@ def main():
     rates = [_measure(model, params, B=64, Lt=LT, Nb=nb)
              for nb in BUCKET_EDGES]
 
+    if not os.path.exists(args.nbb_hist) and args.nbb_hist == DEFAULT_HIST:
+        # demo data is gitignored and a VM restart wipes it (2026-08-18);
+        # the sidecar is written lazily on first DetectFeatDb open
+        import subprocess
+        repo = os.path.dirname(os.path.abspath(__file__))
+        subprocess.run(
+            [sys.executable, os.path.join(repo, "scripts",
+                                          "make_demo_data.py")],
+            env={**os.environ, "JAX_PLATFORMS": "cpu"}, cwd=repo, check=True)
+        subprocess.run([sys.executable, "-c",
+                        "from uc2_tpu.data.db import DetectFeatDb;"
+                        "DetectFeatDb('data/demo/en/img_db')"],
+                       env={**os.environ, "JAX_PLATFORMS": "cpu"},
+                       cwd=repo, check=True)
     w_hist, n_imgs = hist_weights(args.nbb_hist)
     w_uni = uniform_weights()
     value = envelope(rates, w_hist)

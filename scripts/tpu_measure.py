@@ -136,6 +136,42 @@ def cmd_ab(args):
             + " ".join(row) + " pairs/s")
 
 
+def cmd_score_snap(args):
+    """Race the batch-block snap modes (tiles.snap_bb: gcd vs div) on the
+    production scoring path, one process, chained scans. The gcd default
+    degenerates to BB=1 at every eval bucket (heuristic bb=3/5/9 coprime
+    with B=64), serializing the fused-block grid; div picks the largest
+    legal block under the same VMEM budget. Only buckets with L>=128
+    (Nb=66/100) engage the fused blocks."""
+    import jax
+    from uc2_tpu.config import UC2Config
+    from uc2_tpu.models.finetune import UC2ForImageTextRetrieval
+    rng = np.random.default_rng(0)
+    batch = _scoring_batch(rng, args.batch, args.txt_len, args.num_bb)
+    chains = {}
+    params = None
+    for mode in ("gcd", "div"):
+        # trace-time env (tiles.snap_bb reads it inside the traced build)
+        os.environ["UC2_BB_SNAP"] = mode if mode == "div" else ""
+        cfg = UC2Config(dtype=args.dtype, use_pallas_attention=True)
+        model = UC2ForImageTextRetrieval(cfg)
+        if params is None:
+            params = model.init_params(jax.random.PRNGKey(0))
+        t0 = time.time()
+        chains[mode] = _score_chain(model, params, batch, args.iters)
+        log(f"compile score_snap {mode}: {time.time() - t0:.1f}s")
+    os.environ.pop("UC2_BB_SNAP", None)
+    for trial in range(args.trials):
+        row = []
+        for mode, chain in chains.items():
+            t0 = time.perf_counter()
+            float(chain(params, batch))
+            dt = time.perf_counter() - t0
+            row.append(f"{mode}={args.batch * args.iters / dt:.0f}")
+        log(f"RESULT score_snap B={args.batch} Lt={args.txt_len} "
+            f"Nb={args.num_bb} trial{trial}: " + " ".join(row) + " pairs/s")
+
+
 def cmd_train(args):
     import jax
     import jax.numpy as jnp
@@ -625,6 +661,7 @@ def main():
     ps.add_argument("--attention", choices=["xla", "pallas"], default="xla")
     ps.add_argument("--quant", choices=["none", "int8"], default="none")
     pa = sub.add_parser("ab"); common(pa)
+    psn = sub.add_parser("score_snap"); common(psn)
     pt = sub.add_parser("train"); common(pt)
     pt.add_argument("--attention",
                     choices=["xla", "pallas", "pallas-train"],
@@ -699,6 +736,7 @@ def main():
         float(jnp.sum(jnp.ones((8, 8))))
         log("device ready", round(time.time() - t0, 1))
     {"score": cmd_score, "ab": cmd_ab, "train": cmd_train,
+     "score_snap": cmd_score_snap,
      "train_ab": cmd_train_ab, "apply": cmd_apply,
      "grad_profile": cmd_grad_profile,
      "pretrain_loop": cmd_pretrain_loop, "eval": cmd_eval,
