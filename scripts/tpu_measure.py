@@ -16,6 +16,7 @@ killing a client mid-RPC wedges the tile lease ~30min.
 """
 
 import argparse
+import dataclasses
 import os
 import sys
 import time
@@ -337,7 +338,13 @@ def cmd_grad_profile(args):
     Arms (all pallas-train attention unless noted):
       full        value_and_grad of the real mlm loss (== train_ab arm)
       fwd         forward+loss only -> bwd cost = full - fwd
-      nodrop      deterministic (no dropout masks anywhere)
+      nodrop      dropout-0 config, rng key still passed (rate>0 is a
+                  trace-time branch, so the train kernels skip mask
+                  generation entirely while the grad path stays on the
+                  differentiable train kernels — passing deterministic
+                  instead would route onto the inference fused blocks,
+                  which have no custom_vjp and cannot be grad'd; that
+                  exact mistake crashed the first on-chip run 2026-08-19)
       nohead      grad of a surrogate loss on the gathered slots
                   (encoder fwd+bwd + embedding scatter, NO 250k LM head)
       frozenemb   word-embedding table non-diff (kills the input-side
@@ -364,6 +371,11 @@ def cmd_grad_profile(args):
     model = UC2ForPretraining(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
     loss_fn = make_loss_fn(model, args.task)
+    # nodrop arm: dropout-0 twin (same param tree — dropout owns no
+    # params), NOT deterministic=True (see docstring)
+    cfg0 = dataclasses.replace(cfg, hidden_dropout_prob=0.0,
+                               attention_probs_dropout_prob=0.0)
+    loss_fn_nodrop = make_loss_fn(UC2ForPretraining(cfg0), args.task)
 
     def loss_nohead(params, batch, key):
         rngs = {"dropout": key} if key is not None else None
@@ -420,7 +432,7 @@ def cmd_grad_profile(args):
     all_arms = {
         "full": (loss_fn, True, False, False),
         "fwd": (loss_fn, False, False, False),
-        "nodrop": (loss_fn, True, False, True),
+        "nodrop": (loss_fn_nodrop, True, False, False),
         "nohead": (loss_nohead, True, False, False),
         "frozenemb": (loss_fn, True, True, False),
         "encoder": (loss_nohead, True, True, False),

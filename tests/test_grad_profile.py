@@ -22,14 +22,17 @@ def test_grad_profile_cli_arms():
          "--log", "", "grad_profile", "--batch", "2", "--txt_len", "16",
          "--num_bb", "8", "--masked", "4", "--iters", "2", "--trials", "1",
          "--attention", "xla", "--dtype", "float32", "--layers", "2",
-         "--arms", "full,frozenemb,fwd"],
+         "--arms", "full,frozenemb,fwd,nodrop"],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=900)
     out = r.stdout + r.stderr
     assert r.returncode == 0, out[-3000:]
     m = re.search(r"RESULT grad_profile mlm B=2 .*trial0: (.*)", out)
     assert m, out[-3000:]
     arms = dict(kv.split("=") for kv in m.group(1).split())
-    assert set(arms) == {"full", "frozenemb", "fwd"}
+    # nodrop must be a dropout-0 GRAD arm (not deterministic=True, which
+    # would route onto the non-differentiable inference fused blocks —
+    # the 2026-08-19 on-chip crash)
+    assert set(arms) == {"full", "frozenemb", "fwd", "nodrop"}
     for v in arms.values():
         assert float(v.rstrip("ms")) > 0
     # deltas line prints only for arms present
