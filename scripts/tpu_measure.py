@@ -269,10 +269,16 @@ def cmd_train_ab(args):
         all_arms = (("xla", 0), ("pallas-train", 0),
                     ("pallas-train+ce8", 8), ("pallas-train+ffnt", 0),
                     ("pallas-train+rbg", 0), ("pallas-train+native", 0))
-    want = set(args.arms.split(",")) if args.arms else None
-    for impl, ce in all_arms:
-        if want is not None and impl not in want:
-            continue
+    # --arms filters the default set only; a BB sweep names its own arms
+    # (the first on-chip sweep passed both and measured an empty arm set)
+    want = (set(args.arms.split(","))
+            if args.arms and not args.attn_bb_list else None)
+    selected = [a for a in all_arms if want is None or a[0] in want]
+    if not selected:
+        raise SystemExit(f"--arms {args.arms!r} selected no arms out of "
+                         f"{[a[0] for a in all_arms]}")
+    params = None
+    for impl, ce in selected:
         # trace-time env gates (encoder.py / flash_attention.py)
         os.environ["UC2_FFN_TRAIN"] = "1" if impl.endswith("ffnt") else "0"
         os.environ["UC2_ATTN_TRAIN_BB"] = (impl.split("@bb")[1]
@@ -287,7 +293,12 @@ def cmd_train_ab(args):
                         use_pallas_attention=(False if impl == "xla"
                                               else "pallas-train"))
         model = UC2ForPretraining(cfg, lm_ce_chunks=ce)
-        params = model.init_params(jax.random.PRNGKey(0))
+        if params is None:
+            # ONE resident params copy shared by every arm (identical
+            # trees — the impl gates are trace-time only). Per-arm copies
+            # at ~1.1 GB fp32 each OOM'd the 6-arm B=128 run on chip
+            # (RESOURCE_EXHAUSTED at the 5th compile, 2026-08-19).
+            params = model.init_params(jax.random.PRNGKey(0))
         loss_fn = make_loss_fn(model, args.task)
 
         @jax.jit
