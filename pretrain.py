@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import time
 from collections import defaultdict
 from typing import Any, Dict, List, Optional
@@ -580,8 +581,42 @@ def validate(model, state, val, buckets, valid_ids, opts, mesh):
         TB_LOGGER.log_scalar_dict(log, prefix=f"valid_{key}")
 
 
+def resolve_checkpoint_path(path: str) -> str:
+    """Resolve a checkpoint argument to a concrete file.
+
+    Accepts a file path as-is. A *directory* (an output_dir or its ckpt/
+    subdir) resolves to the newest ``model_step_{N}.msgpack`` milestone
+    inside it; an empty/absent milestone set is a hard error with a
+    useful message — round 4's chip batch silently collapsed an empty
+    glob to the bare directory and all three finetune demo drives died
+    on IsADirectoryError before one train step.
+    """
+    if not os.path.isdir(path):
+        return path
+    ckpt_dir = path
+    sub = os.path.join(path, "ckpt")
+    if os.path.isdir(sub):
+        ckpt_dir = sub
+    steps = []
+    for name in os.listdir(ckpt_dir):
+        m = re.fullmatch(r"model_step_(\d+)\.msgpack", name)
+        if m:
+            steps.append((int(m.group(1)), name))
+    if not steps:
+        raise FileNotFoundError(
+            f"--checkpoint {path!r} is a directory with no "
+            f"model_step_*.msgpack milestones in {ckpt_dir!r} "
+            f"(contents: {sorted(os.listdir(ckpt_dir))[:8]}); pass a "
+            f"checkpoint file or a directory that has completed a save")
+    steps.sort()
+    resolved = os.path.join(ckpt_dir, steps[-1][1])
+    LOGGER.info("checkpoint dir %s -> newest milestone %s", path, resolved)
+    return resolved
+
+
 def load_raw_checkpoint(path: str):
     """torch .pt state dict or our msgpack tree → flat dict of numpy."""
+    path = resolve_checkpoint_path(path)
     if path.endswith((".pt", ".bin", ".pth")):
         import torch
         sd = torch.load(path, map_location="cpu", weights_only=False)

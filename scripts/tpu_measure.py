@@ -49,6 +49,20 @@ def _implied_tfs(rate_steps_s, B, Lt, Nb, M):
             + "]")
 
 
+def _rate(x):
+    """Validate a measured rate before it reaches a RESULT line. Round 4's
+    job4 wrote three ``trial0:  steps/s`` rows with BLANK values into
+    bench_results.txt (an empty arm set measured nothing and the printer
+    interpolated anyway) — a poisoned measurement must raise, not record
+    (VERDICT r4 weak #4)."""
+    x = float(x)
+    if not np.isfinite(x) or x <= 0.0:
+        raise AssertionError(
+            f"refusing to write a RESULT line with non-finite/non-positive "
+            f"rate {x!r} — measurement is poisoned")
+    return x
+
+
 def _mk_key(i, impl="threefry2x32"):
     """Per-trial PRNG key under the selected impl (``rbg`` = the TPU's
     hardware RngBitGenerator — dropout masks near-free vs software
@@ -108,7 +122,7 @@ def cmd_score(args):
         dt = time.perf_counter() - t0
         log(f"RESULT score B={args.batch} Lt={args.txt_len} Nb={args.num_bb} "
             f"attn={args.attention} quant={args.quant} trial{trial}: "
-            f"{args.batch * args.iters / dt:.0f} pairs/s")
+            f"{_rate(args.batch * args.iters / dt):.0f} pairs/s")
 
 
 def cmd_ab(args):
@@ -132,7 +146,7 @@ def cmd_ab(args):
             t0 = time.perf_counter()
             float(chain(params, batch))
             dt = time.perf_counter() - t0
-            row.append(f"{impl}={args.batch * args.iters / dt:.0f}")
+            row.append(f"{impl}={_rate(args.batch * args.iters / dt):.0f}")
         log(f"RESULT A/B Lt={args.txt_len} Nb={args.num_bb} trial{trial}: "
             + " ".join(row) + " pairs/s")
 
@@ -168,7 +182,7 @@ def cmd_score_snap(args):
             t0 = time.perf_counter()
             float(chain(params, batch))
             dt = time.perf_counter() - t0
-            row.append(f"{mode}={args.batch * args.iters / dt:.0f}")
+            row.append(f"{mode}={_rate(args.batch * args.iters / dt):.0f}")
         log(f"RESULT score_snap B={args.batch} Lt={args.txt_len} "
             f"Nb={args.num_bb} trial{trial}: " + " ".join(row) + " pairs/s")
 
@@ -221,7 +235,8 @@ def cmd_train(args):
     float(m["loss"])
     dt = time.perf_counter() - t0
     log(f"RESULT train {args.task} B={B} M={M} accum={args.accum}: "
-        f"{n / dt:.2f} steps/s, {B * args.accum * n / dt:.0f} ex/s "
+        f"{_rate(n / dt):.2f} steps/s, "
+        f"{_rate(B * args.accum * n / dt):.0f} ex/s "
         + _implied_tfs(n / dt, B * args.accum, Lt, Nb, M or 24))
 
 
@@ -258,7 +273,11 @@ def cmd_train_ab(args):
     batch["masked_weight"] = jnp.ones((B, M), np.float32)
     batch["txt_labels"] = jnp.asarray(
         rng.integers(4, 250002, (B, M)).astype(np.int32))
-    arms = {}
+    if args.arms and args.attn_bb_list:
+        # the first on-chip sweep passed both, silently measured an empty
+        # arm set, and wrote blank RESULT rows (ADVICE r4) — hard error
+        raise SystemExit("--arms and --attn_bb_list are mutually "
+                         "exclusive: a BB sweep names its own arms")
     if args.attn_bb_list:
         # attention-train batch-block tile sweep: one pallas-train arm per
         # BB (UC2_ATTN_TRAIN_BB is read at trace time, flash_attention.py
@@ -269,16 +288,39 @@ def cmd_train_ab(args):
         all_arms = (("xla", 0), ("pallas-train", 0),
                     ("pallas-train+ce8", 8), ("pallas-train+ffnt", 0),
                     ("pallas-train+rbg", 0), ("pallas-train+native", 0))
-    # --arms filters the default set only; a BB sweep names its own arms
-    # (the first on-chip sweep passed both and measured an empty arm set)
-    want = (set(args.arms.split(","))
-            if args.arms and not args.attn_bb_list else None)
+    want = set(args.arms.split(",")) if args.arms else None
     selected = [a for a in all_arms if want is None or a[0] in want]
     if not selected:
         raise SystemExit(f"--arms {args.arms!r} selected no arms out of "
                          f"{[a[0] for a in all_arms]}")
-    params = None
+    # pre-gate arms against the modeled bwd scoped-VMEM footprint so an
+    # infeasible tile/layout is skipped HERE, loudly, instead of OOM'ing
+    # the Mosaic compile 50 minutes into a chip job (round 4 lost the
+    # native + BB=2 races that way; tiles.py model, test-pinned)
+    from uc2_tpu.ops.tiles import max_train_bb
+    n_heads, d_head, Lj = 12, 64, Lt + Nb
+    gated = []
     for impl, ce in selected:
+        native = impl.endswith("+native")
+        cap = max_train_bb(B, n_heads, Lj, d_head, native=native, rate=0.1)
+        req = int(impl.split("@bb")[1]) if "@bb" in impl else 0
+        if native and cap == 0:
+            log(f"SKIP arm {impl}: native-layout bwd does not fit scoped "
+                f"VMEM even at BB=1 for B={B} L={Lj} (modeled; the kernel "
+                f"would fall back to the standard layout, duplicating the "
+                f"plain pallas-train arm)")
+            continue
+        if req > cap:
+            log(f"SKIP arm {impl}: requested BB={req} exceeds the modeled "
+                f"scoped-VMEM cap BB<={cap} at B={B} L={Lj}")
+            continue
+        gated.append((impl, ce))
+    if not gated:
+        raise SystemExit("all selected arms were VMEM-gated out at "
+                         f"B={B} L={Lj}")
+    params = None
+    results = {}
+    for impl, ce in gated:
         # trace-time env gates (encoder.py / flash_attention.py)
         os.environ["UC2_FFN_TRAIN"] = "1" if impl.endswith("ffnt") else "0"
         os.environ["UC2_ATTN_TRAIN_BB"] = (impl.split("@bb")[1]
@@ -319,21 +361,34 @@ def cmd_train_ab(args):
             return last
 
         kimpl = "rbg" if impl.endswith("+rbg") else "threefry2x32"
-        t0 = time.time()
-        float(chain(params, batch, _mk_key(0, kimpl)))
-        log(f"compile train_ab {impl}: {time.time() - t0:.1f}s")
-        arms[impl] = (chain, params, kimpl)
-    for trial in range(args.trials):
-        row = []
-        for impl, (chain, p, kimpl) in arms.items():
-            t0 = time.perf_counter()
-            float(chain(p, batch, _mk_key(trial, kimpl)))
-            dt = time.perf_counter() - t0
-            rate = args.iters / dt
-            row.append(f"{impl}={rate:.2f} "
-                       + _implied_tfs(rate, B, Lt, Nb, M))
-        log(f"RESULT train_ab(grad-only,all-leaves-live) {args.task} "
-            f"B={B} M={M} trial{trial}: " + " ".join(row) + " steps/s")
+        # compile + measure THIS arm before touching the next: round 4
+        # compiled all six arms up front, so the native arm's compile
+        # failure nullified five already-compiled arms' measurements
+        try:
+            t0 = time.time()
+            float(chain(params, batch, _mk_key(0, kimpl)))
+            log(f"compile train_ab {impl}: {time.time() - t0:.1f}s")
+            for trial in range(args.trials):
+                t0 = time.perf_counter()
+                float(chain(params, batch, _mk_key(trial, kimpl)))
+                dt = time.perf_counter() - t0
+                rate = _rate(args.iters / dt)
+                results.setdefault(impl, []).append(rate)
+                log(f"RESULT train_ab(grad-only,all-leaves-live) "
+                    f"{args.task} B={B} M={M} arm={impl} trial{trial}: "
+                    f"{rate:.2f} steps/s "
+                    + _implied_tfs(rate, B, Lt, Nb, M))
+        except Exception as e:  # noqa: BLE001 — record, keep other arms
+            log(f"ARM-FAILED train_ab {impl}: {type(e).__name__}: "
+                f"{str(e)[:300]}")
+    for k in ("UC2_FFN_TRAIN", "UC2_ATTN_TRAIN_BB",
+              "UC2_ATTN_TRAIN_LAYOUT"):
+        os.environ.pop(k, None)
+    if results:
+        best = {impl: max(v) for impl, v in results.items()}
+        log(f"SUMMARY train_ab {args.task} B={B} M={M} best-of-trials: "
+            + " ".join(f"{impl}={r:.2f}" for impl, r in best.items())
+            + " steps/s")
 
 
 def cmd_grad_profile(args):
@@ -352,16 +407,26 @@ def cmd_grad_profile(args):
       nodrop      dropout-0 config, rng key still passed (rate>0 is a
                   trace-time branch, so the train kernels skip mask
                   generation entirely while the grad path stays on the
-                  differentiable train kernels — passing deterministic
-                  instead would route onto the inference fused blocks,
-                  which have no custom_vjp and cannot be grad'd; that
-                  exact mistake crashed the first on-chip run 2026-08-19)
+                  SAME differentiable train kernels — guaranteed by the
+                  dispatcher since the r4 ADVICE fix: pallas-train with
+                  an rng routes to flash_attention_train even at rate 0,
+                  where it previously fell to the inference kernel whose
+                  vjp is the XLA reference backward, conflating dropout
+                  cost with a ~31% backward-kernel swap. Passing
+                  deterministic instead would route onto the inference
+                  fused blocks, which have no custom_vjp and cannot be
+                  grad'd; that exact mistake crashed the first on-chip
+                  run 2026-08-19. Note a CPU test with --attention xla
+                  cannot catch either regression — only the TPU dispatch
+                  path takes these branches)
       nohead      grad of a surrogate loss on the gathered slots
                   (encoder fwd+bwd + embedding scatter, NO 250k LM head)
       frozenemb   word-embedding table non-diff (kills the input-side
                   scatter-add AND the tied-decoder dW matmul)
       encoder     nohead + frozenemb (pure encoder fwd+bwd)
     """
+    if args.per_arm_proc:
+        return _grad_profile_per_arm_proc(args)
     import jax
     import jax.numpy as jnp
     from uc2_tpu.config import UC2Config
@@ -449,31 +514,38 @@ def cmd_grad_profile(args):
         "encoder": (loss_nohead, True, True, False),
     }
     want = set(args.arms.split(",")) if args.arms else None
-    arms = {}
+    ms = {}
     for name, spec in all_arms.items():
         if want is not None and name not in want:
             continue
-        chain, p0 = make_chain(*spec)
-        t0 = time.time()
-        float(chain(p0, batch, _mk_key(0, args.rng_impl)))
-        log(f"compile grad_profile {name}: {time.time() - t0:.1f}s")
-        arms[name] = (chain, p0)
-    ms = {}
-    for trial in range(args.trials):
-        row = []
-        for name, (chain, p0) in arms.items():
-            t0 = time.perf_counter()
-            last = float(chain(p0, batch, _mk_key(trial, args.rng_impl)))
-            dt = time.perf_counter() - t0
-            ms.setdefault(name, []).append(1e3 * dt / args.iters)
-            row.append(f"{name}={1e3 * dt / args.iters:.1f}ms")
-            if trial == 0:
-                # loss sanity: full/nodrop/frozenemb share the real loss fn
-                # (frozenemb must match full bit-for-bit — split/join pin)
-                log(f"  loss {name}: {last:.6f}")
-        log(f"RESULT grad_profile {args.task} B={B} Lt={Lt} Nb={Nb} M={M} "
-            f"trial{trial}: " + " ".join(row))
-    best = {k: min(v) for k, v in ms.items()}
+        # compile + measure per arm, isolated: the first on-chip run
+        # compiled all six arms (618.8s for `full` alone) and one tunnel
+        # EOF after the compiles erased everything (VERDICT r4 weak #2)
+        try:
+            chain, p0 = make_chain(*spec)
+            t0 = time.time()
+            last = float(chain(p0, batch, _mk_key(0, args.rng_impl)))
+            log(f"compile grad_profile {name}: {time.time() - t0:.1f}s")
+            # loss sanity: full/nodrop/frozenemb share the real loss fn
+            # (frozenemb must match full bit-for-bit — split/join pin)
+            log(f"  loss {name}: {last:.6f}")
+            for trial in range(args.trials):
+                t0 = time.perf_counter()
+                float(chain(p0, batch, _mk_key(trial, args.rng_impl)))
+                dt = time.perf_counter() - t0
+                arm_ms = 1e3 * dt / args.iters
+                ms.setdefault(name, []).append(arm_ms)
+                log(f"RESULT grad_profile {args.task} B={B} Lt={Lt} "
+                    f"Nb={Nb} M={M} trial{trial}: "
+                    f"{name}={_rate(arm_ms):.1f}ms")
+        except Exception as e:  # noqa: BLE001 — keep the other arms
+            log(f"ARM-FAILED grad_profile {name}: {type(e).__name__}: "
+                f"{str(e)[:300]}")
+    _gp_summary({k: min(v) for k, v in ms.items()}, args)
+
+
+def _gp_summary(best, args):
+    B, Lt, Nb, M = args.batch, args.txt_len, args.num_bb, args.masked
     if "full" in best:
         rate = 1e3 / best["full"]
         log(f"grad_profile full: {rate:.2f} steps/s "
@@ -483,6 +555,60 @@ def cmd_grad_profile(args):
                 log(f"grad_profile delta full-{name}: "
                     f"{best['full'] - v:+.1f} ms "
                     f"({100 * (best['full'] - v) / best['full']:.0f}% of step)")
+
+
+GP_ARM_NAMES = ("full", "fwd", "nodrop", "nohead", "frozenemb", "encoder")
+
+
+def _grad_profile_per_arm_proc(args):
+    """Driver mode (VERDICT r4 #2): re-exec one subprocess per arm with a
+    bounded timeout and one retry, persisting each arm's RESULT rows to
+    the log as it lands — a tunnel EOF (or VMEM OOM, or harness bug) in
+    one arm can no longer erase the others. The parent never initializes
+    the tunnel backend; each child owns the chip for its lifetime.
+    Cross-process ms are comparable: every arm is a self-timed chained
+    scan (bench.py methodology)."""
+    import re as _re
+    import subprocess
+    arm_names = args.arms.split(",") if args.arms else list(GP_ARM_NAMES)
+    base = [sys.executable, os.path.abspath(__file__),
+            "--log", args.log or "", "grad_profile",
+            "--batch", str(args.batch), "--txt_len", str(args.txt_len),
+            "--num_bb", str(args.num_bb), "--iters", str(args.iters),
+            "--trials", str(args.trials), "--dtype", args.dtype,
+            "--task", args.task, "--masked", str(args.masked),
+            "--attention", str(args.attention),
+            "--rng_impl", args.rng_impl, "--layers", str(args.layers)]
+    best = {}
+    for name in arm_names:
+        for attempt in range(2):
+            log(f"per-arm-proc {name} attempt{attempt} start",
+                time.strftime("%H:%M:%S"))
+            try:
+                r = subprocess.run(base + ["--arms", name],
+                                   capture_output=True, text=True,
+                                   timeout=args.arm_timeout)
+            except subprocess.TimeoutExpired:
+                log(f"per-arm-proc {name} TIMEOUT after "
+                    f"{args.arm_timeout}s")
+                continue
+            vals = [float(m) for m in _re.findall(
+                _re.escape(name) + r"=([0-9.]+)ms", r.stdout)]
+            if r.returncode == 0 and vals:
+                best[name] = min(vals)
+                break
+            log(f"per-arm-proc {name} rc={r.returncode} "
+                f"parsed={len(vals)}; tail: "
+                + (r.stdout + r.stderr)[-500:].replace("\n", " | "))
+        else:
+            log(f"ARM-FAILED grad_profile {name} (per-arm-proc, "
+                f"2 attempts)")
+    if best:
+        log("per-arm-proc collected: "
+            + " ".join(f"{k}={v:.1f}ms" for k, v in best.items()))
+        _gp_summary(best, args)
+    else:
+        raise SystemExit("per-arm-proc: no arm produced a measurement")
 
 
 def cmd_apply(args):
@@ -533,7 +659,7 @@ def cmd_apply(args):
         dt = time.perf_counter() - t0
         rate = args.iters / dt
         log(f"RESULT apply(adamw chained) trial{trial}: "
-            f"{rate:.2f} applies/s "
+            f"{_rate(rate):.2f} applies/s "
             f"[{rate * traffic_gb:.0f} GB/s of ~{traffic_gb:.1f} GB state "
             f"traffic/apply; v5e HBM ~820 GB/s]")
 
@@ -656,13 +782,13 @@ def cmd_eval(args):
                      args.num_bb, batch_size=args.batch)
     dt = time.perf_counter() - t0
     log(f"RESULT eval {len(tids)}x{len(iids)} (incl. compile): "
-        f"{m.size / dt:.0f} pairs/s")
+        f"{_rate(m.size / dt):.0f} pairs/s")
     t0 = time.perf_counter()
     score_matrix(model, params, tdb, idb, tids, iids, args.txt_len,
                  args.num_bb, batch_size=args.batch)
     dt = time.perf_counter() - t0
     log(f"RESULT eval {len(tids)}x{len(iids)} (warm): "
-        f"{m.size / dt:.0f} pairs/s")
+        f"{_rate(m.size / dt):.0f} pairs/s")
 
 
 def main():
@@ -722,6 +848,12 @@ def main():
                           "under rbg isolates mask-apply from mask-gen)")
     pgp.add_argument("--layers", type=int, default=12,
                      help="encoder depth (shrink for CPU smoke tests)")
+    pgp.add_argument("--per_arm_proc", action="store_true",
+                     help="driver mode: one subprocess per arm, bounded "
+                          "timeout + one retry, incremental persistence "
+                          "(tunnel-EOF-proof)")
+    pgp.add_argument("--arm_timeout", type=int, default=2400,
+                     help="per-arm subprocess timeout, seconds")
     pgp.set_defaults(iters=8)
     pl = sub.add_parser("pretrain_loop"); common(pl)
     pl.add_argument("--task", default="mlm")
@@ -750,8 +882,9 @@ def main():
     if args.log:
         LOG = open(args.log, "a")
     log(f"=== tpu_measure {args.cmd} start", time.strftime("%H:%M:%S"))
-    if args.cmd != "pretrain_loop":
-        # pretrain_loop runs the driver in a SUBPROCESS which needs the
+    if args.cmd != "pretrain_loop" and not getattr(args, "per_arm_proc",
+                                                   False):
+        # pretrain_loop and per-arm-proc run SUBPROCESSES which need the
         # chip — the parent must not initialize the tunnel backend
         import jax
         import jax.numpy as jnp

@@ -102,7 +102,8 @@ def test_backward_mask_consistency_at_bb_divergent_shape():
     # the shape must be one where the OLD tensors=2 sizing disagreed
     old_fwd_bb = __import__("math").gcd(
         max(1, (4 * 1024 * 1024) // (2 * nx * Lx * Lx * 4)), Bx)
-    assert old_fwd_bb != _train_bb(Bx, nx, Lx), "shape no longer divergent"
+    assert old_fwd_bb != _train_bb(Bx, nx, Lx, dx, 0.3, False), \
+        "shape no longer divergent"
     _check_backward_is_gradient(0.3, Bx, Lx, nx, dx)
 
 
@@ -158,3 +159,45 @@ def test_native_layout_arm_bitwise_equal(rate, monkeypatch):
     for a, b, name in zip(g0, g1, ("dq", "dk", "dv", "dbias")):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=name)
+
+
+def test_bwd_vmem_model_calibration():
+    """Pin tiles' bwd VMEM model to the two on-chip Mosaic OOMs it was
+    calibrated against (v5e, 2026-08-19) plus the known-good production
+    config — so a model edit that would re-admit an OOM'ing tile fails
+    here instead of in a 50-minute chip job."""
+    from uc2_tpu.ops.tiles import (VMEM_SCOPED_LIMIT, VMEM_TRAIN_BUDGET,
+                                   attn_train_bwd_vmem_bytes, max_train_bb)
+    n, L, d = 12, 162, 64
+    # known-good: standard layout BB=1 at the production bucket compiles
+    assert attn_train_bwd_vmem_bytes(1, n, L, d, False, 0.1) \
+        <= VMEM_TRAIN_BUDGET
+    # observed OOM: standard BB=2 hit 21.49M > 16M; model must reject it
+    # and must not under-predict the observed footprint's excess
+    assert attn_train_bwd_vmem_bytes(2, n, L, d, False, 0.1) \
+        > VMEM_SCOPED_LIMIT
+    # observed OOM: native layout at BB=1 hit 24.10M; model must reject
+    assert attn_train_bwd_vmem_bytes(1, n, L, d, True, 0.1) \
+        > VMEM_SCOPED_LIMIT
+    # so at the production bucket: standard caps at BB=1, native at 0
+    assert max_train_bb(128, n, L, d, False, 0.1) == 1
+    assert max_train_bb(128, n, L, d, True, 0.1) == 0
+    # smaller bucket (L=98): BB=2 and the native layout become legal
+    assert max_train_bb(128, n, 98, d, False, 0.1) >= 2
+    assert max_train_bb(128, n, 98, d, True, 0.1) >= 1
+
+
+def test_train_bb_clamps_env_request(monkeypatch):
+    """An explicit UC2_ATTN_TRAIN_BB above the modeled budget is clamped
+    before compile (round 4's BB=2 sweep arm died on chip instead)."""
+    from uc2_tpu.ops.flash_attention import _train_bb, _train_layout
+    monkeypatch.setenv("UC2_ATTN_TRAIN_BB", "2")
+    assert _train_bb(128, 12, 162, 64, 0.1, False) == 1
+    monkeypatch.delenv("UC2_ATTN_TRAIN_BB")
+    # native at the production bucket falls back to standard layout
+    monkeypatch.setenv("UC2_ATTN_TRAIN_LAYOUT", "native")
+    native, bb = _train_layout(128, 12, 162, 64, 0.1)
+    assert native is False and bb == 1
+    # ...but stays native where it fits
+    native98, _ = _train_layout(128, 12, 98, 64, 0.1)
+    assert native98 is True

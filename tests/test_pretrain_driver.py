@@ -220,3 +220,31 @@ def test_pretrain_reference_config_compat(tmp_path):
     pretrain.apply_reference_config_compat(opts2, argv2)
     assert opts2.comasking_mode == "mix"
     assert opts2.nce_neg_size == 256
+
+
+def test_resolve_checkpoint_path(tmp_path):
+    """--checkpoint accepts an output_dir / ckpt dir and resolves to the
+    newest milestone; an empty directory is a hard, useful error (the
+    round-4 chip batch collapsed an empty glob to the bare dir and hit
+    IsADirectoryError downstream)."""
+    import pytest
+    import pretrain
+    # plain file: pass-through
+    f = tmp_path / "m.msgpack"
+    f.write_bytes(b"x")
+    assert pretrain.resolve_checkpoint_path(str(f)) == str(f)
+    # output_dir with ckpt/ subdir: newest numeric milestone wins
+    out = tmp_path / "run"
+    ck = out / "ckpt"
+    ck.mkdir(parents=True)
+    for step in (5, 10, 2):
+        (ck / f"model_step_{step}.msgpack").write_bytes(b"x")
+    (ck / "train_state_10.msgpack").write_bytes(b"x")
+    want = str(ck / "model_step_10.msgpack")
+    assert pretrain.resolve_checkpoint_path(str(out)) == want
+    assert pretrain.resolve_checkpoint_path(str(ck)) == want
+    # empty dir: loud error naming the path
+    empty = tmp_path / "empty" / "ckpt"
+    empty.mkdir(parents=True)
+    with pytest.raises(FileNotFoundError, match="no.*milestones"):
+        pretrain.resolve_checkpoint_path(str(empty.parent))

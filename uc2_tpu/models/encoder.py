@@ -213,7 +213,12 @@ class SelfAttention(nn.Module):
                     v.reshape(B, L, n, d))
         dropout_rng = None
         rate = cfg.attention_probs_dropout_prob
-        if not deterministic and rate > 0:
+        if not deterministic and (
+                rate > 0 or cfg.use_pallas_attention == "pallas-train"):
+            # pallas-train gets the rng even at rate 0 so the dispatcher
+            # can keep the grad path on the train kernel (its rate==0
+            # branch skips mask generation at trace time) — a dropout-0
+            # config must not silently change backward kernels
             dropout_rng = self.make_rng("dropout")
         ctx = multi_head_attention(
             q.reshape(B, L, n, d), k.reshape(B, L, n, d),

@@ -98,10 +98,18 @@ def multi_head_attention(q, k, v, bias, dropout_rate: float = 0.0,
     impl = {False: "xla", True: "pallas"}.get(use_pallas, use_pallas)
     if impl != "xla" and _on_tpu():
         try:
-            if dropout_rate > 0.0 and dropout_rng is not None \
-                    and impl in ("pallas", "pallas-train"):
+            if dropout_rng is not None and (
+                    (dropout_rate > 0.0 and impl in ("pallas",
+                                                     "pallas-train"))
+                    or impl == "pallas-train"):
                 # training path: in-kernel probs dropout + Pallas backward
-                # (reference dropout-after-softmax, model/layer.py:99-101)
+                # (reference dropout-after-softmax, model/layer.py:99-101).
+                # pallas-train takes this branch even at rate==0 so a
+                # dropout-0 config keeps the SAME differentiable train
+                # kernel instead of silently swapping to the inference
+                # kernel + XLA reference vjp — grad_profile's nodrop arm
+                # would otherwise conflate dropout cost with a ~31%
+                # backward-kernel swap (ADVICE r4 medium)
                 from uc2_tpu.ops.flash_attention import flash_attention_train
                 seed = jax.random.randint(dropout_rng, (), 0, 2 ** 31 - 1,
                                           dtype=jnp.int32)

@@ -203,9 +203,39 @@ def _store_heads(ref, x, BB, n, L, d, native):
     ref[...] = x.astype(ref.dtype)
 
 
+_WARNED = set()
+
+
+def _warn_once(key, msg):
+    if key not in _WARNED:
+        _WARNED.add(key)
+        import sys
+        print(f"flash_attention_train: {msg}", file=sys.stderr, flush=True)
+
+
 def _train_native():
     import os
     return os.environ.get("UC2_ATTN_TRAIN_LAYOUT") == "native"
+
+
+def _train_layout(B, n, L, d, rate):
+    """Resolve (native, BB) for BOTH passes from the same inputs/env, so
+    the fwd/bwd grid geometry (and therefore the regenerated dropout mask
+    streams) can never diverge. The bwd's modeled VMEM footprint
+    (tiles.attn_train_bwd_vmem_bytes, calibrated to round 4's two on-chip
+    Mosaic OOMs) gates everything pre-compile: the native layout falls
+    back to standard when even BB=1 would not fit, and requested/heuristic
+    batch-blocks are clamped to the largest fitting divisor of B."""
+    from uc2_tpu.ops.tiles import max_train_bb
+    native = _train_native()
+    if native and max_train_bb(B, n, L, d, native=True, rate=rate) == 0:
+        _warn_once(("native", B, n, L, d),
+                   f"native layout bwd does not fit scoped VMEM even at "
+                   f"BB=1 (B={B} n={n} L={L} d={d}); falling back to the "
+                   f"standard layout")
+        native = False
+    bb = _train_bb(B, n, L, d, rate, native)
+    return native, bb
 
 
 def _attn_train_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
@@ -275,32 +305,45 @@ def _attn_train_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
     db_ref[...] = db.reshape(BB, 1, 1, L)
 
 
-def _train_bb(B, n, L):
+def _train_bb(B, n, L, d, rate, native):
     """Shared fwd/bwd batch block.
 
     MUST be identical in both passes: the dropout keep-mask is regenerated
     in the backward from (seed + program_id, block shape), so a different
     grid/block geometry would silently decorrelate the masks and corrupt
-    gradients. Size for the bwd's VMEM pressure (4 fp32 [L,L]-class
-    tensors live at once: p, pd/dpd, dp, ds) and let the fwd run the same,
-    slightly smaller-than-optimal BB.
+    gradients. Size for the bwd's VMEM pressure (4-5 fp32 [L,L]-class
+    tensors live at once: p, pd/dpd, dp, ds, +mask bits) and let the fwd
+    run the same, slightly smaller-than-optimal BB.
 
     ``UC2_ATTN_TRAIN_BB`` overrides the VMEM-budget heuristic for tile
     sweeps (applied identically to both passes, so mask correlation is
     preserved; values that don't divide B are gcd-snapped like the
     default). Sweep end-to-end only — isolated kernel races do not
     predict in-graph wins (DESIGN.md round-3 notes).
+
+    Every result — env-requested or heuristic — is clamped to
+    tiles.max_train_bb's modeled scoped-VMEM cap before a compile ever
+    sees it: round 4's BB=2 sweep arm at L=162/B=128 cost a 50-minute
+    chip job to discover a 21.49M > 16M Mosaic OOM the model now
+    predicts offline (VERDICT r4 weak #3).
     """
     import os
     env = int(os.environ.get("UC2_ATTN_TRAIN_BB", "0"))
     bb = env if env > 0 else max(1, (4 * 1024 * 1024) // (4 * n * L * L * 4))
-    from uc2_tpu.ops.tiles import snap_bb
-    return snap_bb(bb, B)   # gcd default; UC2_BB_SNAP=div for A/Bs
+    from uc2_tpu.ops.tiles import max_train_bb, snap_bb
+    bb = snap_bb(bb, B)   # gcd default; UC2_BB_SNAP=div for A/Bs
+    cap = max_train_bb(B, n, L, d, native=native, rate=rate)
+    if cap and bb > cap:
+        _warn_once(("bb", B, n, L, d, native, bb),
+                   f"batch-block {bb} exceeds the modeled bwd VMEM budget "
+                   f"at B={B} n={n} L={L}; clamped to {cap}")
+        bb = cap
+    return bb
 
 
 def _fwd_train(q, k, v, bias, seed, rate, interpret=False):
     B, L, n, d = q.shape
-    native = _train_native()
+    native, BB = _train_layout(B, n, L, d, rate)
     if native:
         # UC2_ATTN_TRAIN_LAYOUT=native race arm: blocks read the encoder's
         # [B, L, n, d] directly; the head-axis move happens in VMEM inside
@@ -311,7 +354,6 @@ def _fwd_train(q, k, v, bias, seed, rate, interpret=False):
     else:
         qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
         blk = lambda BB: (BB, n, L, d)
-    BB = _train_bb(B, n, L)
     kernel = functools.partial(_attn_train_fwd_kernel,
                                scale=1.0 / math.sqrt(d), n=n, L=L, d=d,
                                rate=float(rate), interpret=interpret,
@@ -340,7 +382,7 @@ def _fwd_train(q, k, v, bias, seed, rate, interpret=False):
 
 def _bwd_train(q, k, v, bias, seed, rate, g, interpret=False):
     B, L, n, d = q.shape
-    native = _train_native()
+    native, BB = _train_layout(B, n, L, d, rate)
     if native:
         qt, kt, vt, gt = q, k, v, g
         blk = lambda BB: (BB, L, n, d)
@@ -349,7 +391,6 @@ def _bwd_train(q, k, v, bias, seed, rate, g, interpret=False):
         qt, kt, vt, gt = (x.transpose(0, 2, 1, 3) for x in (q, k, v, g))
         blk = lambda BB: (BB, n, L, d)
         oshape = (B, n, L, d)
-    BB = _train_bb(B, n, L)
     kernel = functools.partial(_attn_train_bwd_kernel,
                                scale=1.0 / math.sqrt(d), n=n, L=L, d=d,
                                rate=float(rate), interpret=interpret,

