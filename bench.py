@@ -155,36 +155,21 @@ def _measure(model, params, B, Lt, Nb, n_iters=20):
     return B * n_iters / dt
 
 
-def _measure_train(B=128, Lt=LT, Nb=100, M=24, grad_iters=8,
-                   apply_iters=16):
-    """Measured pretrain rate at uc2-base (the second half of
-    BASELINE.json's metric: "pretrain steps/sec at uc2-base").
+# Training bucket shapes: the same nbb buckets as scoring, each at its
+# token-budget-20480 batch size (BASELINE.md round-4 sweep: B=128 is the
+# grad sweet spot at the flat L=162 bucket; 20480/L gives the others)
+TRAIN_BUCKETS = ({"Nb": 36, "B": 208}, {"Nb": 66, "B": 160},
+                 {"Nb": 100, "B": 128})
 
-    Methodology = scripts/tpu_measure.py train_ab + apply, the
-    DCE-proofed chained-scan harness: EVERY gradient / parameter leaf is
-    folded into the scan carry (summing only one leaf lets XLA dead-code
-    the encoder backward-weight pass — round-3 post-mortem, DESIGN.md),
-    and the split-step rate is derived as 1/(1/grad + 1/apply) because a
-    single fused grad+AdamW program hangs this image's remote compiler
-    (BASELINE.md quirk log; real deployments use --split_step or fuse).
-    B=128 is the measured throughput sweet spot (BASELINE.md round-4
-    batch sweep); the shape is the FLAT worst-case bucket (joint L=162,
-    M=24 mlm) — the per-bucket envelope rate (~853 ex/s/chip) is higher,
-    see BASELINE.md. Returns a dict of JSON fields.
-    """
+
+def _measure_grad_rate(model, loss_fn, params, B, Lt, Nb, M, grad_iters):
+    """Chained-scan grad-only rate (steps/s) at one bucket shape, every
+    gradient leaf folded into the carry (DCE-proofed — round-3
+    post-mortem, DESIGN.md)."""
     import jax
     import jax.numpy as jnp
-    import optax
-    from uc2_tpu.config import UC2Config
-    from uc2_tpu.models.pretraining import UC2ForPretraining
-    from uc2_tpu.training import optim as O
-    from uc2_tpu.training.step import make_loss_fn
-
     rng = np.random.default_rng(0)
-    cfg = UC2Config(dtype="bfloat16")   # default use_pallas_attention
-    model = UC2ForPretraining(cfg)
-    params = model.init_params(jax.random.PRNGKey(0))
-    ids = rng.integers(4, cfg.vocab_size, (B, Lt)).astype(np.int32)
+    ids = rng.integers(4, 250002, (B, Lt)).astype(np.int32)
     ids[:, 0] = 0
     batch = {
         "input_ids": jnp.asarray(ids),
@@ -197,9 +182,8 @@ def _measure_train(B=128, Lt=LT, Nb=100, M=24, grad_iters=8,
             rng.integers(1, Lt, (B, M)).astype(np.int32)),
         "masked_weight": jnp.ones((B, M), np.float32),
         "txt_labels": jnp.asarray(
-            rng.integers(4, cfg.vocab_size, (B, M)).astype(np.int32)),
+            rng.integers(4, 250002, (B, M)).astype(np.int32)),
     }
-    loss_fn = make_loss_fn(model, "mlm")
 
     @jax.jit
     def grad_chain(params, batch, key):
@@ -221,7 +205,46 @@ def _measure_train(B=128, Lt=LT, Nb=100, M=24, grad_iters=8,
         t0 = time.perf_counter()
         float(grad_chain(params, batch, jax.random.PRNGKey(t)))
         g_rates.append(grad_iters / (time.perf_counter() - t0))
-    g_rate = max(g_rates)
+    return max(g_rates)
+
+
+def _measure_train(w_hist, Lt=LT, M=24, grad_iters=8, apply_iters=16):
+    """Measured pretrain rate at uc2-base (the second half of
+    BASELINE.json's metric: "pretrain steps/sec at uc2-base").
+
+    Methodology = scripts/tpu_measure.py train_ab + apply, the
+    DCE-proofed chained-scan harness; the split-step rate is derived as
+    1/(1/grad + 1/apply) because a single fused grad+AdamW program hangs
+    this image's remote compiler (BASELINE.md quirk log; real
+    deployments use --split_step or fuse).
+
+    Reports BOTH readings, mirroring the scoring methodology exactly
+    (VERDICT r4 #5 — the envelope was previously BASELINE.md arithmetic,
+    not driver-captured):
+      * the flat worst-case bucket (joint L=162, B=128, M=24 mlm) —
+        ``train_steps_per_sec`` / ``train_ex_per_sec_per_chip``;
+      * the bucket envelope over TRAIN_BUCKETS at the same measured nbb
+        histogram weights as scoring —
+        ``train_envelope_ex_per_sec_per_chip`` + per-bucket rates.
+    Returns a dict of JSON fields.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from uc2_tpu.config import UC2Config
+    from uc2_tpu.models.pretraining import UC2ForPretraining
+    from uc2_tpu.training import optim as O
+    from uc2_tpu.training.step import make_loss_fn
+
+    cfg = UC2Config(dtype="bfloat16")   # default use_pallas_attention
+    model = UC2ForPretraining(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    loss_fn = make_loss_fn(model, "mlm")
+
+    g_rate_by_nb = {}
+    for bk in TRAIN_BUCKETS:
+        g_rate_by_nb[bk["Nb"]] = _measure_grad_rate(
+            model, loss_fn, params, bk["B"], Lt, bk["Nb"], M, grad_iters)
 
     tx = O.build_optimizer(params, O.constant(4e-5), grad_norm=5.0)
     opt_state = jax.jit(tx.init)(params)
@@ -249,6 +272,21 @@ def _measure_train(B=128, Lt=LT, Nb=100, M=24, grad_iters=8,
         a_rates.append(apply_iters / (time.perf_counter() - t0))
     a_rate = max(a_rates)
 
+    # per-bucket split-step ex/s, then the same weighted harmonic mean
+    # as the scoring envelope (weights = fraction of examples per bucket)
+    bucket_ex = {}
+    for bk in TRAIN_BUCKETS:
+        g = g_rate_by_nb[bk["Nb"]]
+        bucket_ex[bk["Nb"]] = bk["B"] / (1.0 / g + 1.0 / a_rate)
+    env_ex = envelope([bucket_ex[bk["Nb"]] for bk in TRAIN_BUCKETS],
+                      w_hist)
+    grad_env_ex = envelope(
+        [g_rate_by_nb[bk["Nb"]] * bk["B"] for bk in TRAIN_BUCKETS],
+        w_hist)
+
+    # flat worst-case bucket (L=162, B=128) keeps its round-4 fields
+    B, Nb = TRAIN_BUCKETS[-1]["B"], TRAIN_BUCKETS[-1]["Nb"]
+    g_rate = g_rate_by_nb[Nb]
     step_rate = 1.0 / (1.0 / g_rate + 1.0 / a_rate)
     tfs = g_rate * B * grad_flops_per_example(Lt, Nb, M) / 1e12
     return {
@@ -259,6 +297,16 @@ def _measure_train(B=128, Lt=LT, Nb=100, M=24, grad_iters=8,
         "train_shape": {"task": "mlm", "B": B, "Lt": Lt, "Nb": Nb, "M": M},
         "train_implied_tflops": round(tfs, 1),
         "train_pct_of_calibration": round(100 * tfs / CHIP_CALIB_TFLOPS, 1),
+        "train_envelope_ex_per_sec_per_chip": round(env_ex, 1),
+        "train_envelope_grad_ex_per_sec": round(grad_env_ex, 1),
+        "train_bucket_ex_per_sec": {
+            str(bk["Nb"]): round(bucket_ex[bk["Nb"]], 1)
+            for bk in TRAIN_BUCKETS},
+        "train_bucket_grad_steps_per_sec": {
+            str(bk["Nb"]): round(g_rate_by_nb[bk["Nb"]], 2)
+            for bk in TRAIN_BUCKETS},
+        "train_bucket_batch": {str(bk["Nb"]): bk["B"]
+                               for bk in TRAIN_BUCKETS},
     }
 
 
@@ -319,7 +367,7 @@ def main():
         # second half of BASELINE.json's metric ("pretrain steps/sec at
         # uc2-base"); failure must not take down the scoring headline
         try:
-            train_fields = _measure_train()
+            train_fields = _measure_train(w_hist)
         except Exception as e:                      # noqa: BLE001
             train_fields = {"train_error": f"{type(e).__name__}: {e}"[:200]}
 

@@ -78,3 +78,18 @@ def test_backend_init_failure_predicate():
     assert bench._is_backend_init_failure(RuntimeError("DEADLINE_EXCEEDED"))
     assert not bench._is_backend_init_failure(ValueError("bad shape"))
     assert not bench._is_backend_init_failure(KeyError("img_feat"))
+
+
+def test_train_bucket_shapes_token_budget():
+    """TRAIN_BUCKETS must be the scoring nbb buckets at their token-budget
+    batch sizes (budget 20480, B=128 sweet spot at the flat bucket) and
+    the envelope fields must mirror the scoring methodology (VERDICT r4
+    #5: driver-captured, not BASELINE.md arithmetic)."""
+    assert [b["Nb"] for b in bench.TRAIN_BUCKETS] == bench.BUCKET_EDGES
+    assert bench.TRAIN_BUCKETS[-1]["B"] == 128
+    for b in bench.TRAIN_BUCKETS:
+        # within one example of the 20480-token budget at joint length,
+        # snapped to multiples of 8 for TPU-friendly batch dims
+        joint = bench.LT + b["Nb"]
+        assert b["B"] % 8 == 0
+        assert abs(b["B"] - 20480 / joint) / (20480 / joint) < 0.3
