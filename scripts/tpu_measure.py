@@ -297,22 +297,27 @@ def cmd_train_ab(args):
     # infeasible tile/layout is skipped HERE, loudly, instead of OOM'ing
     # the Mosaic compile 50 minutes into a chip job (round 4 lost the
     # native + BB=2 races that way; tiles.py model, test-pinned)
-    from uc2_tpu.ops.tiles import max_train_bb
+    from uc2_tpu.ops.tiles import max_train_bb, max_train_hb
     n_heads, d_head, Lj = 12, 64, Lt + Nb
     gated = []
     for impl, ce in selected:
         native = impl.endswith("+native")
-        cap = max_train_bb(B, n_heads, Lj, d_head, native=native, rate=0.1)
+        # the kernel's layout resolver head-splits the grid when the
+        # full-head cell would OOM (flash_attention._train_layout), so an
+        # arm is infeasible only when even (BB=1, HB=1) does not fit
+        hb = max_train_hb(1, n_heads, Lj, d_head, native=native, rate=0.1)
+        cap = max_train_bb(B, n_heads, Lj, d_head, native=native, rate=0.1,
+                           hb=hb)
         req = int(impl.split("@bb")[1]) if "@bb" in impl else 0
-        if native and cap == 0:
+        if native and hb == 0:
             log(f"SKIP arm {impl}: native-layout bwd does not fit scoped "
-                f"VMEM even at BB=1 for B={B} L={Lj} (modeled; the kernel "
-                f"would fall back to the standard layout, duplicating the "
-                f"plain pallas-train arm)")
+                f"VMEM even at BB=1, HB=1 for B={B} L={Lj} (modeled; the "
+                f"kernel would fall back to the standard layout, "
+                f"duplicating the plain pallas-train arm)")
             continue
         if req > cap:
             log(f"SKIP arm {impl}: requested BB={req} exceeds the modeled "
-                f"scoped-VMEM cap BB<={cap} at B={B} L={Lj}")
+                f"scoped-VMEM cap BB<={cap} at B={B} L={Lj} HB={hb}")
             continue
         gated.append((impl, ce))
     if not gated:

@@ -194,10 +194,58 @@ def test_train_bb_clamps_env_request(monkeypatch):
     monkeypatch.setenv("UC2_ATTN_TRAIN_BB", "2")
     assert _train_bb(128, 12, 162, 64, 0.1, False) == 1
     monkeypatch.delenv("UC2_ATTN_TRAIN_BB")
-    # native at the production bucket falls back to standard layout
+    # the default geometry at the production bucket is unchanged by the
+    # head-split feature: standard layout, full-head cells, BB=1
+    native, bb, hb = _train_layout(128, 12, 162, 64, 0.1)
+    assert (native, bb, hb) == (False, 1, 12)
+    # native at the production bucket no longer falls back — the resolver
+    # head-splits the grid to make it fit (24.4M at HB=12 → 14.4M at HB=6)
     monkeypatch.setenv("UC2_ATTN_TRAIN_LAYOUT", "native")
-    native, bb = _train_layout(128, 12, 162, 64, 0.1)
-    assert native is False and bb == 1
-    # ...but stays native where it fits
-    native98, _ = _train_layout(128, 12, 98, 64, 0.1)
-    assert native98 is True
+    native, bb, hb = _train_layout(128, 12, 162, 64, 0.1)
+    assert native is True and bb == 1 and hb == 6
+    # ...and stays native at full-head cells where that already fits
+    native98, _, hb98 = _train_layout(128, 12, 98, 64, 0.1)
+    assert native98 is True and hb98 == 12
+
+
+def test_train_hb_resolution(monkeypatch):
+    """UC2_ATTN_TRAIN_HB sweeps the head block: snapped to a divisor of
+    n, clamped to the modeled budget; 0/unset keeps the largest fitting
+    divisor (= n whenever the pre-round-5 batch-only grid was safe)."""
+    from uc2_tpu.ops.flash_attention import _train_layout
+    monkeypatch.setenv("UC2_ATTN_TRAIN_HB", "6")
+    assert _train_layout(128, 12, 162, 64, 0.1)[2] == 6
+    monkeypatch.setenv("UC2_ATTN_TRAIN_HB", "8")   # not a divisor → gcd 4
+    assert _train_layout(128, 12, 162, 64, 0.1)[2] == 4
+    monkeypatch.setenv("UC2_ATTN_TRAIN_HB", "12")
+    monkeypatch.setenv("UC2_ATTN_TRAIN_LAYOUT", "native")
+    # native HB=12 exceeds the budget at L=162 → clamped to the cap
+    assert _train_layout(128, 12, 162, 64, 0.1)[2] == 6
+
+
+@pytest.mark.parametrize("native", [False, True])
+def test_head_split_grid_matches_xla(native, monkeypatch):
+    """Forced HB < n (the footprint-shrinking head-split grid): rate=0
+    forward/grads still match XLA, and rate>0 backward is still the
+    gradient of the forward (fwd/bwd mask streams agree across the 2D
+    grid's cell ids)."""
+    if native:
+        monkeypatch.setenv("UC2_ATTN_TRAIN_LAYOUT", "native")
+    monkeypatch.setenv("UC2_ATTN_TRAIN_HB", "1")   # n=2 → 2 head cells
+    q, k, v, bias = _inputs(seed=5)
+    fa = functools.partial(flash_attention_train, rate=0.0, interpret=True)
+    out = fa(q, k, v, bias, jnp.int32(7))
+    ref = _xla_attention(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    w = jnp.asarray(np.random.default_rng(1).standard_normal(out.shape),
+                    jnp.float32)
+    g = jax.grad(lambda q, k, v, bias: jnp.sum(
+        fa(q, k, v, bias, jnp.int32(7)) * w), argnums=(0, 1, 2, 3))
+    gr = jax.grad(lambda q, k, v, bias: jnp.sum(
+        _xla_attention(q, k, v, bias) * w), argnums=(0, 1, 2, 3))
+    for a, b, name in zip(g(q, k, v, bias), gr(q, k, v, bias),
+                          ("dq", "dk", "dv", "dbias")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+    _check_backward_is_gradient(0.3, B, L, n, d)

@@ -219,28 +219,69 @@ def _train_native():
 
 
 def _train_layout(B, n, L, d, rate):
-    """Resolve (native, BB) for BOTH passes from the same inputs/env, so
-    the fwd/bwd grid geometry (and therefore the regenerated dropout mask
-    streams) can never diverge. The bwd's modeled VMEM footprint
+    """Resolve (native, BB, HB) for BOTH passes from the same inputs/env,
+    so the fwd/bwd grid geometry (and therefore the regenerated dropout
+    mask streams) can never diverge. The bwd's modeled VMEM footprint
     (tiles.attn_train_bwd_vmem_bytes, calibrated to round 4's two on-chip
-    Mosaic OOMs) gates everything pre-compile: the native layout falls
-    back to standard when even BB=1 would not fit, and requested/heuristic
-    batch-blocks are clamped to the largest fitting divisor of B."""
-    from uc2_tpu.ops.tiles import max_train_bb
+    Mosaic OOMs) gates everything pre-compile.
+
+    HB is the head-block: the grid is (B//BB, n//HB) and each cell keeps
+    only BB*HB [L, L]-class fp32 tensors live, so shrinking HB cuts the
+    footprint with ZERO recompute (unlike a dQ/dKV pass split). Default
+    resolution keeps the proven round-4 geometry whenever it fits
+    (HB = n, batch-only grid — bit-identical mask streams); HB shrinks
+    only when the full-head cell would OOM, which is exactly what makes
+    the native layout feasible at the production bucket (L=162: native
+    HB=12 models 24.4M > 16M, HB=6 models 14.4M — fits). The native
+    layout still falls back to standard when even (BB=1, HB=1) does not
+    fit. ``UC2_ATTN_TRAIN_HB`` overrides for sweeps (snapped to a divisor
+    of n, clamped to the modeled budget like BB)."""
+    import os
+    from uc2_tpu.ops.tiles import max_train_hb
     native = _train_native()
-    if native and max_train_bb(B, n, L, d, native=True, rate=rate) == 0:
+    if native and max_train_hb(1, n, L, d, native=True, rate=rate) == 0:
         _warn_once(("native", B, n, L, d),
                    f"native layout bwd does not fit scoped VMEM even at "
-                   f"BB=1 (B={B} n={n} L={L} d={d}); falling back to the "
-                   f"standard layout")
+                   f"BB=1, HB=1 (B={B} n={n} L={L} d={d}); falling back "
+                   f"to the standard layout")
         native = False
-    bb = _train_bb(B, n, L, d, rate, native)
-    return native, bb
+    hb_cap = max_train_hb(1, n, L, d, native=native, rate=rate)
+    env_hb = int(os.environ.get("UC2_ATTN_TRAIN_HB", "0"))
+    if env_hb > 0:
+        hb = math.gcd(env_hb, n)
+        if hb > hb_cap:
+            _warn_once(("hb", B, n, L, d, native, hb),
+                       f"head-block {hb} exceeds the modeled bwd VMEM "
+                       f"budget at B={B} n={n} L={L}; clamped to {hb_cap}")
+            hb = hb_cap
+    else:
+        hb = hb_cap
+    if hb < n:
+        _warn_once(("hbsplit", B, n, L, d, native),
+                   f"head-split grid: HB={hb} of n={n} heads per cell "
+                   f"(B={B} L={L}, {'native' if native else 'standard'} "
+                   f"layout)")
+    bb = _train_bb(B, n, L, d, rate, native, hb)
+    return native, bb, hb
+
+
+def _cell_id(two_d):
+    """Flat grid-cell id — the per-cell dropout stream selector. MUST be
+    computed identically in the fwd and bwd kernels (same grid via the
+    shared _train_layout), or the regenerated masks decorrelate and the
+    gradients are silently wrong. The head-split (HB < n) grid is 2D;
+    HB == n keeps the pre-round-5 1D batch-only grid bit-identical (the
+    chip-proven production geometry is untouched by the feature)."""
+    if two_d:
+        return pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    return pl.program_id(0)
 
 
 def _attn_train_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
                            *, scale, n, L, d, rate, interpret=False,
-                           native=False):
+                           native=False, two_d=False):
+    # ``n`` here is the heads-per-cell head block HB, not the model's total
+    # head count — the grid is (B//BB, n_total//HB), see _train_layout
     BB = q_ref.shape[0]
     q = _load_heads(q_ref, n, L, d, native)
     k = _load_heads(k_ref, n, L, d, native)
@@ -248,7 +289,7 @@ def _attn_train_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
     bias = bias_ref[...].reshape(BB, 1, 1, L)
     p = _probs(q, k, bias, scale, BB, n, L)
     if rate > 0.0:
-        keep = _keep_mask(seed_ref[0], pl.program_id(0), p.shape, rate,
+        keep = _keep_mask(seed_ref[0], _cell_id(two_d), p.shape, rate,
                           interpret)
         p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
     o = jax.lax.dot_general(
@@ -261,7 +302,9 @@ def _attn_train_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
 def _attn_train_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
                            dq_ref, dk_ref, dv_ref, db_ref,
                            *, scale, n, L, d, rate, interpret=False,
-                           native=False):
+                           native=False, two_d=False):
+    # ``n`` = heads-per-cell HB (see _train_layout); db_ref holds this
+    # cell's per-head-block partial, summed across head cells by the host
     BB = q_ref.shape[0]
     q = _load_heads(q_ref, n, L, d, native)
     k = _load_heads(k_ref, n, L, d, native)
@@ -270,7 +313,7 @@ def _attn_train_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
     bias = bias_ref[...].reshape(BB, 1, 1, L)
     p = _probs(q, k, bias, scale, BB, n, L)
     if rate > 0.0:
-        keep = _keep_mask(seed_ref[0], pl.program_id(0), p.shape, rate,
+        keep = _keep_mask(seed_ref[0], _cell_id(two_d), p.shape, rate,
                           interpret)
         pd = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
     else:
@@ -305,7 +348,7 @@ def _attn_train_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
     db_ref[...] = db.reshape(BB, 1, 1, L)
 
 
-def _train_bb(B, n, L, d, rate, native):
+def _train_bb(B, n, L, d, rate, native, hb=0):
     """Shared fwd/bwd batch block.
 
     MUST be identical in both passes: the dropout keep-mask is regenerated
@@ -328,46 +371,78 @@ def _train_bb(B, n, L, d, rate, native):
     predicts offline (VERDICT r4 weak #3).
     """
     import os
+    hb = hb or n
     env = int(os.environ.get("UC2_ATTN_TRAIN_BB", "0"))
-    bb = env if env > 0 else max(1, (4 * 1024 * 1024) // (4 * n * L * L * 4))
+    bb = env if env > 0 else max(1, (4 * 1024 * 1024) // (4 * hb * L * L * 4))
     from uc2_tpu.ops.tiles import max_train_bb, snap_bb
     bb = snap_bb(bb, B)   # gcd default; UC2_BB_SNAP=div for A/Bs
-    cap = max_train_bb(B, n, L, d, native=native, rate=rate)
+    cap = max_train_bb(B, n, L, d, native=native, rate=rate, hb=hb)
     if cap and bb > cap:
         _warn_once(("bb", B, n, L, d, native, bb),
                    f"batch-block {bb} exceeds the modeled bwd VMEM budget "
-                   f"at B={B} n={n} L={L}; clamped to {cap}")
+                   f"at B={B} n={n} L={L} HB={hb}; clamped to {cap}")
         bb = cap
     return bb
 
 
+def _train_specs(B, L, n, d, native, BB, HB):
+    """Grid + block specs for the training kernels.
+
+    HB == n: 1D grid (B//BB,) — bit-identical to the pre-head-split
+    (chip-proven) geometry, including dropout cell ids.
+    HB < n: 2D head-split grid (B//BB, n//HB). standard: operands are
+    host-transposed [B, n, L, d]; block (BB, HB, L, d) at grid index
+    (b, h) → block (b, h, 0, 0). native: operands are the encoder's
+    untouched [B, L, n, d]; block (BB, L, HB, d) at (b, h) → (b, 0, h, 0)
+    — the head-axis move happens in VMEM inside the kernel. Bias is
+    per-batch-row only: block (BB, 1, 1, L) at (b, h) → (b, 0, 0, 0),
+    revisited across head cells. db gets one partial per head cell.
+    Index maps under PrefetchScalarGridSpec also receive the scalar refs
+    (hence *_)."""
+    nh = n // HB
+    two_d = nh > 1
+    if two_d:
+        grid = (B // BB, nh)
+        hidx = ((lambda b, h, *_: (b, 0, h, 0)) if native
+                else (lambda b, h, *_: (b, h, 0, 0)))
+        lo_idx = lambda b, h, *_: (b, 0, 0, 0)
+        db_idx = lambda b, h, *_: (b, h, 0, 0)
+    else:
+        grid = (B // BB,)
+        hidx = lo_idx = db_idx = lambda b, *_: (b, 0, 0, 0)
+    hblk = (BB, L, HB, d) if native else (BB, HB, L, d)
+    head_spec = pl.BlockSpec(hblk, hidx, memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((BB, 1, 1, L), lo_idx,
+                             memory_space=pltpu.VMEM)
+    db_spec = pl.BlockSpec((BB, 1, 1, L), db_idx,
+                           memory_space=pltpu.VMEM)
+    return grid, head_spec, bias_spec, db_spec, two_d
+
+
 def _fwd_train(q, k, v, bias, seed, rate, interpret=False):
     B, L, n, d = q.shape
-    native, BB = _train_layout(B, n, L, d, rate)
+    native, BB, HB = _train_layout(B, n, L, d, rate)
     if native:
         # UC2_ATTN_TRAIN_LAYOUT=native race arm: blocks read the encoder's
         # [B, L, n, d] directly; the head-axis move happens in VMEM inside
-        # the kernel (identical math/dropout streams — same BB, same
-        # program_id, same [BB*n, L, L] mask shape)
+        # the kernel (identical math/dropout streams — same grid, same
+        # cell ids, same [BB*HB, L, L] mask shape)
         qt, kt, vt = q, k, v
-        blk = lambda BB: (BB, L, n, d)
     else:
         qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
-        blk = lambda BB: (BB, n, L, d)
+    grid, head_spec, bias_spec, _, two_d = _train_specs(
+        B, L, n, d, native, BB, HB)
     kernel = functools.partial(_attn_train_fwd_kernel,
-                               scale=1.0 / math.sqrt(d), n=n, L=L, d=d,
+                               scale=1.0 / math.sqrt(d), n=HB, L=L, d=d,
                                rate=float(rate), interpret=interpret,
-                               native=native)
-    # index maps under PrefetchScalarGridSpec also receive the scalar refs
-    spec = lambda shape: pl.BlockSpec(shape, lambda b, *_: (b, 0, 0, 0),
-                                      memory_space=pltpu.VMEM)
+                               native=native, two_d=two_d)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B // BB,),
-            in_specs=[spec(blk(BB))] * 3 + [spec((BB, 1, 1, L))],
-            out_specs=spec(blk(BB)),
+            grid=grid,
+            in_specs=[head_spec] * 3 + [bias_spec],
+            out_specs=head_spec,
         ),
         out_shape=jax.ShapeDtypeStruct((B, L, n, d) if native
                                        else (B, n, L, d), q.dtype),
@@ -382,35 +457,35 @@ def _fwd_train(q, k, v, bias, seed, rate, interpret=False):
 
 def _bwd_train(q, k, v, bias, seed, rate, g, interpret=False):
     B, L, n, d = q.shape
-    native, BB = _train_layout(B, n, L, d, rate)
+    native, BB, HB = _train_layout(B, n, L, d, rate)
     if native:
         qt, kt, vt, gt = q, k, v, g
-        blk = lambda BB: (BB, L, n, d)
         oshape = (B, L, n, d)
     else:
         qt, kt, vt, gt = (x.transpose(0, 2, 1, 3) for x in (q, k, v, g))
-        blk = lambda BB: (BB, n, L, d)
         oshape = (B, n, L, d)
+    grid, head_spec, bias_spec, db_spec, two_d = _train_specs(
+        B, L, n, d, native, BB, HB)
     kernel = functools.partial(_attn_train_bwd_kernel,
-                               scale=1.0 / math.sqrt(d), n=n, L=L, d=d,
+                               scale=1.0 / math.sqrt(d), n=HB, L=L, d=d,
                                rate=float(rate), interpret=interpret,
-                               native=native)
-    spec = lambda shape: pl.BlockSpec(shape, lambda b, *_: (b, 0, 0, 0),
-                                      memory_space=pltpu.VMEM)
+                               native=native, two_d=two_d)
+    # each head cell writes its own db partial ([B, n//HB, 1, L]); the
+    # cross-head reduction is one cheap XLA sum on the host side of the
+    # custom call (db itself is tiny: B*L fp32)
+    nh = n // HB
     dq, dk, dv, db = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B // BB,),
-            in_specs=[spec(blk(BB))] * 3 + [spec((BB, 1, 1, L)),
-                                            spec(blk(BB))],
-            out_specs=(spec(blk(BB)), spec(blk(BB)),
-                       spec(blk(BB)), spec((BB, 1, 1, L))),
+            grid=grid,
+            in_specs=[head_spec] * 3 + [bias_spec, head_spec],
+            out_specs=(head_spec, head_spec, head_spec, db_spec),
         ),
         out_shape=(jax.ShapeDtypeStruct(oshape, q.dtype),
                    jax.ShapeDtypeStruct(oshape, k.dtype),
                    jax.ShapeDtypeStruct(oshape, v.dtype),
-                   jax.ShapeDtypeStruct((B, 1, 1, L), jnp.float32)),
+                   jax.ShapeDtypeStruct((B, nh, 1, L), jnp.float32)),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=11 * B * n * L * L * d,
@@ -419,6 +494,7 @@ def _bwd_train(q, k, v, bias, seed, rate, g, interpret=False):
     )(jnp.asarray(seed, jnp.int32).reshape(1), qt, kt, vt, bias, gt)
     if not native:
         dq, dk, dv = (x.transpose(0, 2, 1, 3) for x in (dq, dk, dv))
+    db = db.sum(axis=1).reshape(B, 1, 1, L)
     return dq, dk, dv, db.astype(bias.dtype)
 
 

@@ -55,12 +55,14 @@ def _pad(x: int, m: int) -> int:
 
 def attn_train_bwd_vmem_bytes(bb: int, n: int, L: int, d: int,
                               native: bool = False,
-                              rate: float = 0.0) -> int:
+                              rate: float = 0.0, hb: int = 0) -> int:
     """Modeled scoped-VMEM bytes of the training-attention backward kernel
-    (flash_attention.py::_attn_train_bwd_kernel) at batch-block ``bb``.
+    (flash_attention.py::_attn_train_bwd_kernel) at batch-block ``bb`` and
+    head-block ``hb`` (heads per grid cell; 0 = all ``n`` heads, the
+    pre-round-5 geometry).
 
     Empirical, calibrated to Mosaic's own accounting on v5e (observed
-    2026-08-19, uc2-base L=162 n=12 d=64, B=128, rate=0.1):
+    2026-08-19, uc2-base L=162 n=12 d=64, B=128, rate=0.1, hb=n):
 
       standard BB=1 → compiles (modeled 13.9M vs 16M limit)
       standard BB=2 → OOM at 21.49M observed (modeled 23.7M — the model
@@ -69,31 +71,49 @@ def attn_train_bwd_vmem_bytes(bb: int, n: int, L: int, d: int,
 
     Terms: each fp32 [L, L] slice pads to Mosaic's (8, 128) tiling; the
     bwd keeps ~4 such tensors per (batch-row, head) live at once (p,
-    pd/dpd, dp, ds) plus the regenerated uint32 mask bits when rate > 0;
-    the native layout adds in-VMEM head-axis relayouts of 7 bf16
-    [L, n, d] operands (q/k/v/g loads + dq/dk/dv stores), which Mosaic
-    accounts far above their raw bytes — calibrated from the 24.10M
-    observation. ~4M fixed covers double-buffered operand blocks and
-    kernel scratch.
+    pd/dpd, dp, ds) plus the regenerated uint32 mask bits when rate > 0 —
+    all scaling with bb*hb, which is why splitting the grid over heads
+    shrinks the footprint with zero recompute; the native layout adds
+    in-VMEM head-axis relayouts of 7 bf16 [L, hb, d] operands (q/k/v/g
+    loads + dq/dk/dv stores), which Mosaic accounts far above their raw
+    bytes — calibrated from the 24.10M observation. ~4M fixed covers
+    double-buffered operand blocks and kernel scratch.
     """
+    hb = hb or n
     P = _pad(L, 8) * _pad(L, 128) * 4
     n_ll = 5 if rate > 0.0 else 4
-    body = n_ll * bb * n * P
+    body = n_ll * bb * hb * P
     if native:
-        body += int(10.5e6 * bb * (n * L * d) / (12 * 162 * 64))
+        body += int(10.5e6 * bb * (hb * L * d) / (12 * 162 * 64))
     return body + int(4e6)
 
 
 def max_train_bb(B: int, n: int, L: int, d: int, native: bool = False,
-                 rate: float = 0.0) -> int:
+                 rate: float = 0.0, hb: int = 0) -> int:
     """Largest divisor of ``B`` whose modeled bwd footprint fits the
-    scoped-VMEM budget; 0 when even BB=1 does not fit (the caller must
-    change strategy — e.g. fall back from the native layout)."""
+    scoped-VMEM budget at head-block ``hb`` (0 = all heads); 0 when even
+    BB=1 does not fit (the caller must change strategy — e.g. shrink the
+    head block or fall back from the native layout)."""
     best = 0
     for cand in range(1, B + 1):
         if B % cand:
             continue
         if attn_train_bwd_vmem_bytes(cand, n, L, d, native,
-                                     rate) <= VMEM_TRAIN_BUDGET:
+                                     rate, hb) <= VMEM_TRAIN_BUDGET:
             best = cand
     return best
+
+
+def max_train_hb(bb: int, n: int, L: int, d: int, native: bool = False,
+                 rate: float = 0.0) -> int:
+    """Largest divisor of ``n`` (heads per grid cell) whose modeled bwd
+    footprint fits the scoped-VMEM budget at batch-block ``bb``; 0 when
+    even one head per cell does not fit. hb == n means the single-level
+    batch-only grid (the pre-round-5 geometry) is already safe."""
+    for cand in range(n, 0, -1):
+        if n % cand:
+            continue
+        if attn_train_bwd_vmem_bytes(bb, n, L, d, native,
+                                     rate, cand) <= VMEM_TRAIN_BUDGET:
+            return cand
+    return 0
