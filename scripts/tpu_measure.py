@@ -17,6 +17,7 @@ killing a client mid-RPC wedges the tile lease ~30min.
 
 import argparse
 import dataclasses
+import math
 import os
 import sys
 import time
@@ -304,8 +305,13 @@ def cmd_train_ab(args):
         native = impl.endswith("+native")
         # the kernel's layout resolver head-splits the grid when the
         # full-head cell would OOM (flash_attention._train_layout), so an
-        # arm is infeasible only when even (BB=1, HB=1) does not fit
+        # arm is infeasible only when even (BB=1, HB=1) does not fit;
+        # a UC2_ATTN_TRAIN_HB sweep env must be gated the way the
+        # resolver will actually apply it (gcd-snap, then budget clamp)
         hb = max_train_hb(1, n_heads, Lj, d_head, native=native, rate=0.1)
+        env_hb = int(os.environ.get("UC2_ATTN_TRAIN_HB", "0"))
+        if env_hb > 0:
+            hb = min(math.gcd(env_hb, n_heads), hb)
         cap = max_train_bb(B, n_heads, Lj, d_head, native=native, rate=0.1,
                            hb=hb)
         req = int(impl.split("@bb")[1]) if "@bb" in impl else 0
@@ -379,9 +385,12 @@ def cmd_train_ab(args):
                 dt = time.perf_counter() - t0
                 rate = _rate(args.iters / dt)
                 results.setdefault(impl, []).append(rate)
+                hb_note = (f"@hb{os.environ['UC2_ATTN_TRAIN_HB']}"
+                           if os.environ.get("UC2_ATTN_TRAIN_HB")
+                           else "")
                 log(f"RESULT train_ab(grad-only,all-leaves-live) "
-                    f"{args.task} B={B} M={M} arm={impl} trial{trial}: "
-                    f"{rate:.2f} steps/s "
+                    f"{args.task} B={B} M={M} arm={impl}{hb_note} "
+                    f"trial{trial}: {rate:.2f} steps/s "
                     + _implied_tfs(rate, B, Lt, Nb, M))
         except Exception as e:  # noqa: BLE001 — record, keep other arms
             log(f"ARM-FAILED train_ab {impl}: {type(e).__name__}: "
