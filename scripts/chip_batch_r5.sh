@@ -45,7 +45,12 @@ timeout 1800 python vqa.py --checkpoint "$CKPT_DIR" \
   > output/demo_vqa.log 2>&1
 mark "job2 vqa rc=$?"
 mark "job3 nlvr2 demo start"
+# nlvr2 defaults to uniter-base (512 bert-style positions, mirroring the
+# reference's UNITER lineage) but the demo checkpoint is uc2-base (514
+# XLM-R positions) — pass the matching config or merge_params rejects the
+# position table (the 11:52 r5 failure)
 timeout 1800 python nlvr2.py --checkpoint "$CKPT_DIR" \
+  --model_config config/uc2-base.json \
   --train_txt_db data/demo/en/txt_db --train_img_db data/demo/en/img_db \
   --fmt triplet --pred_csv output/demo_nlvr2/preds.csv \
   --output_dir output/demo_nlvr2 \

@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# Round-5 chained follow-up: runs AFTER chip_batch_r5.sh completes.
+#   job1  nlvr2 demo re-run with the MATCHING model config (the 11:52
+#         failure was a config mismatch: nlvr2's uniter-base default has
+#         512 bert positions, the demo checkpoint is uc2-base with 514
+#         XLM-R positions — vqa/itm default to uc2-base and passed)
+#   job2  exec chip_batch_r5b.sh (head-split races A/B/C)
+cd /root/repo
+L=bench_results.txt
+mkdir -p output
+mark(){ echo "=== $1 $(date -u +%H:%M:%S)" >> "$L"; }
+
+mark "chip batch r5c start"
+
+CKPT_DIR=output/demo_pretrain/ckpt
+if ls "$CKPT_DIR"/model_step* >/dev/null 2>&1; then
+  mark "r5c nlvr2 demo retry start"
+  timeout 1800 python nlvr2.py --checkpoint "$CKPT_DIR" \
+    --model_config config/uc2-base.json \
+    --train_txt_db data/demo/en/txt_db --train_img_db data/demo/en/img_db \
+    --fmt triplet --pred_csv output/demo_nlvr2/preds.csv \
+    --output_dir output/demo_nlvr2 \
+    --train_batch_size 8 --num_train_steps 10 --warmup_steps 2 \
+    --valid_steps 10 --save_steps 10 --log_steps 5 \
+    > output/demo_nlvr2_r5c.log 2>&1
+  mark "r5c nlvr2 rc=$?"
+else
+  mark "r5c no checkpoint — nlvr2 retry skipped"
+fi
+
+bash scripts/chip_batch_r5b.sh
+
+mark "chip batch r5c done"
