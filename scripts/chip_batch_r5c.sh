@@ -24,8 +24,20 @@ if ls "$CKPT_DIR"/model_step* >/dev/null 2>&1; then
     --valid_steps 10 --save_steps 10 --log_steps 5 \
     > output/demo_nlvr2_r5c.log 2>&1
   mark "r5c nlvr2 rc=$?"
+  # ve retry: the r5 ve job hung at device attach (zero log output for
+  # its whole 1800 s budget, right after nlvr2's crash-teardown — the
+  # known ~30 min wedged-lease window) and was timeout-killed
+  mark "r5c ve demo retry start"
+  timeout 1800 python ve.py --checkpoint "$CKPT_DIR" \
+    --train_txt_db data/demo/en/txt_db --train_img_db data/demo/en/img_db \
+    --val_txt_db data/demo/en/txt_db --val_img_db data/demo/en/img_db \
+    --output_dir output/demo_ve \
+    --train_batch_size 16 --num_train_steps 10 --warmup_steps 2 \
+    --valid_steps 10 --val_batches 2 --save_steps 10 --log_steps 5 \
+    > output/demo_ve_r5c.log 2>&1
+  mark "r5c ve rc=$?"
 else
-  mark "r5c no checkpoint — nlvr2 retry skipped"
+  mark "r5c no checkpoint — nlvr2/ve retries skipped"
 fi
 
 bash scripts/chip_batch_r5b.sh
