@@ -12,8 +12,23 @@ mark(){ echo "=== $1 $(date -u +%H:%M:%S)" >> "$L"; }
 
 mark "chip batch r5c start"
 
+# wedge gate: retry a 300s-bounded trivial-compute probe before each real
+# job so a wedged tile lease (the ve failure mode) costs probe attempts,
+# not a real job's budget. Cap at 8 attempts (~45 min) then press on —
+# the real job may still succeed and its own timeout bounds the damage.
+probe(){
+  for i in 1 2 3 4 5 6 7 8; do
+    if timeout 300 python scripts/chip_probe.py >> output/chip_probe.log 2>&1; then
+      mark "probe ok (attempt $i)"; return 0; fi
+    mark "probe attempt $i failed/hung — sleeping 60"
+    sleep 60
+  done
+  mark "probe gave up after 8 attempts — running the job anyway"
+}
+
 CKPT_DIR=output/demo_pretrain/ckpt
 if ls "$CKPT_DIR"/model_step* >/dev/null 2>&1; then
+  probe
   mark "r5c nlvr2 demo retry start"
   timeout 1800 python nlvr2.py --checkpoint "$CKPT_DIR" \
     --model_config config/uc2-base.json \
@@ -27,6 +42,7 @@ if ls "$CKPT_DIR"/model_step* >/dev/null 2>&1; then
   # ve retry: the r5 ve job hung at device attach (zero log output for
   # its whole 1800 s budget, right after nlvr2's crash-teardown — the
   # known ~30 min wedged-lease window) and was timeout-killed
+  probe
   mark "r5c ve demo retry start"
   timeout 1800 python ve.py --checkpoint "$CKPT_DIR" \
     --train_txt_db data/demo/en/txt_db --train_img_db data/demo/en/img_db \
@@ -40,6 +56,7 @@ else
   mark "r5c no checkpoint — nlvr2/ve retries skipped"
 fi
 
+probe
 bash scripts/chip_batch_r5b.sh
 
 mark "chip batch r5c done"
