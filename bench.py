@@ -35,13 +35,26 @@ keeps the most conservative reading: flat Nb=100 throughput / 600.
 
 The JSON also carries the second half of BASELINE.json's metric — measured
 "pretrain steps/sec at uc2-base" (``train_*`` fields; chained-scan, every
-gradient leaf live, split grad/apply — see ``_measure_train``). Skip with
+gradient leaf live, split grad/apply — see ``_subtask_grad``). Skip with
 ``--no_train``. Prints ONE json line.
+
+Process model (round 5): the parent is a pure ORCHESTRATOR that never
+attaches to the device; every measurement (scoring, each train bucket's
+grad rate, the optimizer apply rate) runs in its own subprocess with a
+bounded timeout and retry. Round 4/5 chip history forced this shape twice:
+a single process accumulating several compiled train programs + buffers
+dies with RESOURCE_EXHAUSTED on this 16G chip (output/tab_r4.log — four
+train_ab arms compiled, first fetch OOMed; the post-rbg-flip bench train
+block hit the same error, bench_results.txt r5d), and one tunnel EOF used
+to erase every un-persisted measurement (output/gp_r4b.log). Subprocess
+isolation is the same fix grad_profile --per_arm_proc shipped for both.
 """
 
 import argparse
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -50,7 +63,6 @@ import numpy as np
 # in this image hangs on executable serialization (observed: >16 min spin on
 # a program that compiles in ~3 min uncached).
 
-import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 V100_BASELINE_PAIRS_PER_SEC = 600.0   # the flat L=162 estimate (BASELINE.md)
@@ -70,6 +82,22 @@ NBB_MIN = 10
 DEFAULT_HIST = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "data", "demo", "en", "img_db",
                             "nbb_th0.2_max100_min10.json")
+
+# Training bucket shapes: the same nbb buckets as scoring, each at its
+# token-budget-20480 batch size (BASELINE.md round-4 sweep: B=128 is the
+# grad sweet spot at the flat L=162 bucket; 20480/L gives the others)
+TRAIN_BUCKETS = ({"Nb": 36, "B": 208}, {"Nb": 66, "B": 160},
+                 {"Nb": 100, "B": 128})
+
+# Per-subtask wall budgets (attach can take minutes after a wedge window;
+# compiles are 40-130s each) and the orchestrator's global deadline.
+SUBTASK_TIMEOUT = {"score": 1500, "grad": 900, "apply": 600}
+GLOBAL_DEADLINE_S = float(os.environ.get("UC2_BENCH_DEADLINE", "3300"))
+_T0 = time.monotonic()
+
+
+def _time_left():
+    return GLOBAL_DEADLINE_S - (time.monotonic() - _T0)
 
 
 def uniform_weights():
@@ -155,19 +183,40 @@ def _measure(model, params, B, Lt, Nb, n_iters=20):
     return B * n_iters / dt
 
 
-# Training bucket shapes: the same nbb buckets as scoring, each at its
-# token-budget-20480 batch size (BASELINE.md round-4 sweep: B=128 is the
-# grad sweet spot at the flat L=162 bucket; 20480/L gives the others)
-TRAIN_BUCKETS = ({"Nb": 36, "B": 208}, {"Nb": 66, "B": 160},
-                 {"Nb": 100, "B": 128})
+def _subtask_score():
+    """Child process: the three scoring-bucket rates. One process for all
+    three is fine — inference programs are small and this trio has never
+    OOMed in five rounds of chip runs."""
+    import jax
+    from uc2_tpu.config import UC2Config
+    from uc2_tpu.models.finetune import UC2ForImageTextRetrieval
+
+    cfg = UC2Config(dtype="bfloat16")
+    model = UC2ForImageTextRetrieval(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rates = [_measure(model, params, B=64, Lt=LT, Nb=nb)
+             for nb in BUCKET_EDGES]
+    return {"rates": rates}
 
 
-def _measure_grad_rate(model, loss_fn, params, B, Lt, Nb, M, grad_iters):
-    """Chained-scan grad-only rate (steps/s) at one bucket shape, every
-    gradient leaf folded into the carry (DCE-proofed — round-3
-    post-mortem, DESIGN.md)."""
+def _subtask_grad(nb, impl, grad_iters=8, M=24):
+    """Child process: chained-scan grad-only rate (steps/s) at one train
+    bucket, every gradient leaf folded into the carry (DCE-proofed —
+    round-3 post-mortem, DESIGN.md). ``impl`` selects the dropout PRNG
+    (rbg = driver default since round 5, +10.4% end-to-end)."""
     import jax
     import jax.numpy as jnp
+    from uc2_tpu.config import UC2Config, base_prng_key
+    from uc2_tpu.models.pretraining import UC2ForPretraining
+    from uc2_tpu.training.step import make_loss_fn
+
+    bk = next(b for b in TRAIN_BUCKETS if b["Nb"] == nb)
+    B, Lt, Nb = bk["B"], LT, bk["Nb"]
+    cfg = UC2Config(dtype="bfloat16")   # default use_pallas_attention
+    model = UC2ForPretraining(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    loss_fn = make_loss_fn(model, "mlm")
+
     rng = np.random.default_rng(0)
     ids = rng.integers(4, 250002, (B, Lt)).astype(np.int32)
     ids[:, 0] = 0
@@ -199,53 +248,32 @@ def _measure_grad_rate(model, loss_fn, params, B, Lt, Nb, M, grad_iters):
                                length=grad_iters)
         return last
 
-    float(grad_chain(params, batch, jax.random.PRNGKey(0)))  # compile
+    float(grad_chain(params, batch, base_prng_key(0, impl)))  # compile
     g_rates = []
     for t in range(2):
         t0 = time.perf_counter()
-        float(grad_chain(params, batch, jax.random.PRNGKey(t)))
+        float(grad_chain(params, batch, base_prng_key(t, impl)))
         g_rates.append(grad_iters / (time.perf_counter() - t0))
-    return max(g_rates)
+    rate = max(g_rates)
+    if not (0.1 < rate < 1000.0):
+        raise RuntimeError(f"implausible grad rate {rate} at Nb={nb}")
+    return {"g_rate": rate}
 
 
-def _measure_train(w_hist, Lt=LT, M=24, grad_iters=8, apply_iters=16):
-    """Measured pretrain rate at uc2-base (the second half of
-    BASELINE.json's metric: "pretrain steps/sec at uc2-base").
-
-    Methodology = scripts/tpu_measure.py train_ab + apply, the
-    DCE-proofed chained-scan harness; the split-step rate is derived as
-    1/(1/grad + 1/apply) because a single fused grad+AdamW program hangs
-    this image's remote compiler (BASELINE.md quirk log; real
-    deployments use --split_step or fuse).
-
-    Reports BOTH readings, mirroring the scoring methodology exactly
-    (VERDICT r4 #5 — the envelope was previously BASELINE.md arithmetic,
-    not driver-captured):
-      * the flat worst-case bucket (joint L=162, B=128, M=24 mlm) —
-        ``train_steps_per_sec`` / ``train_ex_per_sec_per_chip``;
-      * the bucket envelope over TRAIN_BUCKETS at the same measured nbb
-        histogram weights as scoring —
-        ``train_envelope_ex_per_sec_per_chip`` + per-bucket rates.
-    Returns a dict of JSON fields.
-    """
+def _subtask_apply(apply_iters=16):
+    """Child process: AdamW apply rate (the split step's second half; a
+    single fused grad+AdamW program hangs this image's remote compiler —
+    BASELINE.md quirk log; real deployments use --split_step or fuse)."""
     import jax
     import jax.numpy as jnp
     import optax
     from uc2_tpu.config import UC2Config
     from uc2_tpu.models.pretraining import UC2ForPretraining
     from uc2_tpu.training import optim as O
-    from uc2_tpu.training.step import make_loss_fn
 
-    cfg = UC2Config(dtype="bfloat16")   # default use_pallas_attention
+    cfg = UC2Config(dtype="bfloat16")
     model = UC2ForPretraining(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
-    loss_fn = make_loss_fn(model, "mlm")
-
-    g_rate_by_nb = {}
-    for bk in TRAIN_BUCKETS:
-        g_rate_by_nb[bk["Nb"]] = _measure_grad_rate(
-            model, loss_fn, params, bk["B"], Lt, bk["Nb"], M, grad_iters)
-
     tx = O.build_optimizer(params, O.constant(4e-5), grad_norm=5.0)
     opt_state = jax.jit(tx.init)(params)
 
@@ -270,44 +298,135 @@ def _measure_train(w_hist, Lt=LT, M=24, grad_iters=8, apply_iters=16):
         t0 = time.perf_counter()
         float(apply_chain(params, opt_state))
         a_rates.append(apply_iters / (time.perf_counter() - t0))
-    a_rate = max(a_rates)
+    rate = max(a_rates)
+    if not (1.0 < rate < 10000.0):
+        raise RuntimeError(f"implausible apply rate {rate}")
+    return {"a_rate": rate}
 
-    # per-bucket split-step ex/s, then the same weighted harmonic mean
-    # as the scoring envelope (weights = fraction of examples per bucket)
-    bucket_ex = {}
+
+def _run_subtask(name, extra, attempts=2):
+    """Spawn ``bench.py --_subtask name`` with bounded timeout + retry.
+    Returns (result dict or None, last error string). Each child owns the
+    device for its lifetime; the parent never attaches."""
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--_subtask", name] + extra
+    env = {**os.environ, "UC2_BENCH_RETRY": "9"}   # no re-exec inside child
+    last_err = "not attempted (deadline)"
+    for attempt in range(attempts):
+        budget = min(SUBTASK_TIMEOUT[name], max(0.0, _time_left()))
+        if budget < 120:
+            break
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=budget, env=env)
+        except subprocess.TimeoutExpired:
+            last_err = f"timeout after {budget:.0f}s"
+            print(f"bench subtask {name}{extra} attempt{attempt}: "
+                  f"{last_err}", file=sys.stderr)
+            continue
+        line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+        if r.returncode == 0 and line.startswith("{"):
+            return json.loads(line), ""
+        last_err = (r.stderr.strip().splitlines() or ["empty stderr"])[-1]
+        print(f"bench subtask {name}{extra} attempt{attempt} "
+              f"rc={r.returncode}: {(r.stderr or '')[-800:]}",
+              file=sys.stderr)
+        time.sleep(20)
+    return None, last_err
+
+
+def _measure_train(w_hist, M=24):
+    """Measured pretrain rate at uc2-base (the second half of
+    BASELINE.json's metric: "pretrain steps/sec at uc2-base"), assembled
+    from isolated per-bucket grad subtasks + one apply subtask.
+
+    Reports BOTH readings, mirroring the scoring methodology exactly
+    (VERDICT r4 #5):
+      * the flat worst-case bucket (joint L=162, B=128, M=24 mlm) —
+        ``train_steps_per_sec`` / ``train_ex_per_sec_per_chip``;
+      * the bucket envelope over TRAIN_BUCKETS at the same measured nbb
+        histogram weights as scoring —
+        ``train_envelope_ex_per_sec_per_chip`` + per-bucket rates.
+
+    A bucket whose grad OOMs/fails under the default PRNG is retried once
+    more under threefry2x32 and the substitution is recorded in
+    ``train_rng_impl`` — a degraded-but-honest number beats an empty one.
+    Partial failures land in ``train_errors`` instead of erasing the rest.
+    Returns a dict of JSON fields.
+    """
+    from uc2_tpu.config import DEFAULT_RNG_IMPL
+
+    g_rate_by_nb, impl_by_nb, errors = {}, {}, {}
     for bk in TRAIN_BUCKETS:
-        g = g_rate_by_nb[bk["Nb"]]
-        bucket_ex[bk["Nb"]] = bk["B"] / (1.0 / g + 1.0 / a_rate)
-    env_ex = envelope([bucket_ex[bk["Nb"]] for bk in TRAIN_BUCKETS],
-                      w_hist)
-    grad_env_ex = envelope(
-        [g_rate_by_nb[bk["Nb"]] * bk["B"] for bk in TRAIN_BUCKETS],
-        w_hist)
+        nb = bk["Nb"]
+        res, err = _run_subtask(
+            "grad", ["--_nb", str(nb), "--_rng_impl", DEFAULT_RNG_IMPL])
+        impl = DEFAULT_RNG_IMPL
+        if res is None and DEFAULT_RNG_IMPL != "threefry2x32":
+            errors[f"grad_nb{nb}_{DEFAULT_RNG_IMPL}"] = err
+            res, err = _run_subtask(
+                "grad", ["--_nb", str(nb), "--_rng_impl", "threefry2x32"],
+                attempts=1)
+            impl = "threefry2x32"
+        if res is None:
+            errors[f"grad_nb{nb}"] = err
+        else:
+            g_rate_by_nb[nb] = res["g_rate"]
+            impl_by_nb[nb] = impl
+    apply_res, err = _run_subtask("apply", [])
+    if apply_res is None:
+        errors["apply"] = err
 
-    # flat worst-case bucket (L=162, B=128) keeps its round-4 fields
-    B, Nb = TRAIN_BUCKETS[-1]["B"], TRAIN_BUCKETS[-1]["Nb"]
-    g_rate = g_rate_by_nb[Nb]
-    step_rate = 1.0 / (1.0 / g_rate + 1.0 / a_rate)
-    tfs = g_rate * B * grad_flops_per_example(Lt, Nb, M) / 1e12
-    return {
-        "train_grad_steps_per_sec": round(g_rate, 2),
-        "train_apply_per_sec": round(a_rate, 1),
-        "train_steps_per_sec": round(step_rate, 2),
-        "train_ex_per_sec_per_chip": round(step_rate * B, 1),
-        "train_shape": {"task": "mlm", "B": B, "Lt": Lt, "Nb": Nb, "M": M},
-        "train_implied_tflops": round(tfs, 1),
-        "train_pct_of_calibration": round(100 * tfs / CHIP_CALIB_TFLOPS, 1),
-        "train_envelope_ex_per_sec_per_chip": round(env_ex, 1),
-        "train_envelope_grad_ex_per_sec": round(grad_env_ex, 1),
-        "train_bucket_ex_per_sec": {
-            str(bk["Nb"]): round(bucket_ex[bk["Nb"]], 1)
-            for bk in TRAIN_BUCKETS},
-        "train_bucket_grad_steps_per_sec": {
-            str(bk["Nb"]): round(g_rate_by_nb[bk["Nb"]], 2)
-            for bk in TRAIN_BUCKETS},
-        "train_bucket_batch": {str(bk["Nb"]): bk["B"]
-                               for bk in TRAIN_BUCKETS},
-    }
+    if not g_rate_by_nb:
+        raise RuntimeError(f"all grad buckets failed: {errors}")
+
+    fields = {}
+    if errors:
+        fields["train_errors"] = errors
+    fields["train_rng_impl"] = (
+        impl_by_nb if len(set(impl_by_nb.values())) > 1
+        else next(iter(impl_by_nb.values())))
+    fields["train_bucket_grad_steps_per_sec"] = {
+        str(nb): round(r, 2) for nb, r in sorted(g_rate_by_nb.items())}
+    fields["train_bucket_batch"] = {str(bk["Nb"]): bk["B"]
+                                    for bk in TRAIN_BUCKETS}
+
+    have_all = all(bk["Nb"] in g_rate_by_nb for bk in TRAIN_BUCKETS)
+    if have_all:
+        fields["train_envelope_grad_ex_per_sec"] = round(envelope(
+            [g_rate_by_nb[bk["Nb"]] * bk["B"] for bk in TRAIN_BUCKETS],
+            w_hist), 1)
+
+    if apply_res is not None:
+        a_rate = apply_res["a_rate"]
+        fields["train_apply_per_sec"] = round(a_rate, 1)
+        # per-bucket split-step ex/s, then the same weighted harmonic mean
+        # as the scoring envelope (weights = fraction of examples/bucket)
+        bucket_ex = {nb: next(b["B"] for b in TRAIN_BUCKETS
+                              if b["Nb"] == nb) / (1.0 / g + 1.0 / a_rate)
+                     for nb, g in g_rate_by_nb.items()}
+        fields["train_bucket_ex_per_sec"] = {
+            str(nb): round(v, 1) for nb, v in sorted(bucket_ex.items())}
+        if have_all:
+            fields["train_envelope_ex_per_sec_per_chip"] = round(envelope(
+                [bucket_ex[bk["Nb"]] for bk in TRAIN_BUCKETS], w_hist), 1)
+        # flat worst-case bucket (L=162, B=128) keeps its round-4 fields
+        B, Nb = TRAIN_BUCKETS[-1]["B"], TRAIN_BUCKETS[-1]["Nb"]
+        if Nb in g_rate_by_nb:
+            g_rate = g_rate_by_nb[Nb]
+            step_rate = 1.0 / (1.0 / g_rate + 1.0 / a_rate)
+            tfs = g_rate * B * grad_flops_per_example(LT, Nb, M) / 1e12
+            fields.update({
+                "train_grad_steps_per_sec": round(g_rate, 2),
+                "train_steps_per_sec": round(step_rate, 2),
+                "train_ex_per_sec_per_chip": round(step_rate * B, 1),
+                "train_shape": {"task": "mlm", "B": B, "Lt": LT,
+                                "Nb": Nb, "M": M},
+                "train_implied_tflops": round(tfs, 1),
+                "train_pct_of_calibration": round(
+                    100 * tfs / CHIP_CALIB_TFLOPS, 1),
+            })
+    return fields
 
 
 def main():
@@ -318,23 +437,33 @@ def main():
     ap.add_argument("--no_train", action="store_true",
                     help="skip the pretrain steps/s measurement (scoring "
                          "envelope only)")
+    ap.add_argument("--_subtask", choices=["score", "grad", "apply"],
+                    help=argparse.SUPPRESS)   # child-process mode
+    ap.add_argument("--_nb", type=int, help=argparse.SUPPRESS)
+    ap.add_argument("--_rng_impl", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
-    import jax
-    from uc2_tpu.config import UC2Config
-    from uc2_tpu.models.finetune import UC2ForImageTextRetrieval
+    if args._subtask:
+        # child mode: one measurement, one JSON line, then exit — the
+        # orchestrator parses the last stdout line
+        if args._subtask == "score":
+            out = _subtask_score()
+        elif args._subtask == "grad":
+            from uc2_tpu.config import DEFAULT_RNG_IMPL
+            out = _subtask_grad(args._nb, args._rng_impl or DEFAULT_RNG_IMPL)
+        else:
+            out = _subtask_apply()
+        print(json.dumps(out))
+        return
 
-    cfg = UC2Config(dtype="bfloat16")
-    model = UC2ForImageTextRetrieval(cfg)
-    params = model.init_params(jax.random.PRNGKey(0))
-
-    rates = [_measure(model, params, B=64, Lt=LT, Nb=nb)
-             for nb in BUCKET_EDGES]
+    score_res, err = _run_subtask("score", [], attempts=3)
+    if score_res is None:
+        raise RuntimeError(f"scoring measurement failed: {err}")
+    rates = score_res["rates"]
 
     if not os.path.exists(args.nbb_hist) and args.nbb_hist == DEFAULT_HIST:
         # demo data is gitignored and a VM restart wipes it (2026-08-18);
         # the sidecar is written lazily on first DetectFeatDb open
-        import subprocess
         repo = os.path.dirname(os.path.abspath(__file__))
         subprocess.run(
             [sys.executable, os.path.join(repo, "scripts",
@@ -369,7 +498,7 @@ def main():
         try:
             train_fields = _measure_train(w_hist)
         except Exception as e:                      # noqa: BLE001
-            train_fields = {"train_error": f"{type(e).__name__}: {e}"[:200]}
+            train_fields = {"train_error": f"{type(e).__name__}: {e}"[:300]}
 
     print(json.dumps({
         "metric": "itm_scoring_pairs_per_sec_per_chip",
@@ -404,7 +533,9 @@ if __name__ == "__main__":
     # Transient-tunnel resilience: a failed backend init is CACHED by jax
     # for the life of the process, so an in-process retry is useless — on
     # an init-class failure, re-exec ourselves (bounded) for a fresh
-    # attempt. Anything else (a real bug) propagates immediately.
+    # attempt. With the orchestrator split this mostly covers direct
+    # --_subtask invocations; orchestrator-spawned children disable it
+    # (UC2_BENCH_RETRY=9) because the parent already retries them.
     try:
         main()
     except Exception as e:                          # noqa: BLE001

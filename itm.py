@@ -238,7 +238,7 @@ def main(opts):
 
         meter = RunningMeter("rank_loss")
         from uc2_tpu.config import base_prng_key
-        rng_key = base_prng_key(opts.seed + 1, getattr(opts, 'rng_impl', 'threefry2x32'))
+        rng_key = base_prng_key(opts.seed + 1, getattr(opts, 'rng_impl', 'rbg'))
         global_step = int(state.step)
 
         def _mine_path(step, db_idx=0):
@@ -409,7 +409,7 @@ def build_parser():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--rng_impl",
                    choices=["threefry2x32", "rbg"],
-                   default="threefry2x32",
+                   default="rbg",
                    help="dropout PRNG: rbg = TPU hardware "
                         "RngBitGenerator (cheaper masks, "
                         "different streams)")

@@ -739,7 +739,7 @@ def build_parser():
     # TPU
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--rng_impl", choices=["threefry2x32", "rbg"],
-                   default="threefry2x32",
+                   default="rbg",
                    help="dropout PRNG: rbg = TPU hardware RngBitGenerator "
                         "(cheaper mask generation, different streams; "
                         "exact resume stays deterministic either way)")

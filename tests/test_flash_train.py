@@ -198,12 +198,16 @@ def test_train_bb_clamps_env_request(monkeypatch):
     # head-split feature: standard layout, full-head cells, BB=1
     native, bb, hb = _train_layout(128, 12, 162, 64, 0.1)
     assert (native, bb, hb) == (False, 1, 12)
-    # native at the production bucket no longer falls back — the resolver
-    # head-splits the grid to make it fit (24.4M at HB=12 → 14.4M at HB=6)
+    # native at the production bucket falls back to standard: the only
+    # VMEM-fitting head-blocks (HB=6,4,...) put a dim that is neither
+    # divisible by 8 nor == n second-to-last in the block, which Mosaic
+    # rejects (r5b chip race, output/tab_r5b_native.log), and the only
+    # Mosaic-legal ones (HB=12; HB=8 doesn't divide 12) model over
+    # budget at L=162
     monkeypatch.setenv("UC2_ATTN_TRAIN_LAYOUT", "native")
     native, bb, hb = _train_layout(128, 12, 162, 64, 0.1)
-    assert native is True and bb == 1 and hb == 6
-    # ...and stays native at full-head cells where that already fits
+    assert (native, bb, hb) == (False, 1, 12)
+    # ...but stays native at full-head cells where that fits (L=98)
     native98, _, hb98 = _train_layout(128, 12, 98, 64, 0.1)
     assert native98 is True and hb98 == 12
 
@@ -219,8 +223,11 @@ def test_train_hb_resolution(monkeypatch):
     assert _train_layout(128, 12, 162, 64, 0.1)[2] == 4
     monkeypatch.setenv("UC2_ATTN_TRAIN_HB", "12")
     monkeypatch.setenv("UC2_ATTN_TRAIN_LAYOUT", "native")
-    # native HB=12 exceeds the budget at L=162 → clamped to the cap
-    assert _train_layout(128, 12, 162, 64, 0.1)[2] == 6
+    # native has NO legal in-budget grid at L=162 (Mosaic head-axis
+    # constraint) → the resolver falls back to standard, where HB=12
+    # fits; the env request passes through un-clamped
+    native162, _, hb162 = _train_layout(128, 12, 162, 64, 0.1)
+    assert native162 is False and hb162 == 12
 
 
 @pytest.mark.parametrize("native", [False, True])

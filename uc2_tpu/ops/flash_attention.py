@@ -241,14 +241,23 @@ def _train_layout(B, n, L, d, rate):
     native = _train_native()
     if native and max_train_hb(1, n, L, d, native=True, rate=rate) == 0:
         _warn_once(("native", B, n, L, d),
-                   f"native layout bwd does not fit scoped VMEM even at "
-                   f"BB=1, HB=1 (B={B} n={n} L={L} d={d}); falling back "
-                   f"to the standard layout")
+                   f"native layout bwd has no legal grid: every "
+                   f"Mosaic-legal head-block (HB == n or HB % 8 == 0 — "
+                   f"the head axis is the block's second-to-last dim) "
+                   f"exceeds the modeled scoped-VMEM budget at B={B} "
+                   f"n={n} L={L} d={d}; falling back to the standard "
+                   f"layout")
         native = False
     hb_cap = max_train_hb(1, n, L, d, native=native, rate=rate)
     env_hb = int(os.environ.get("UC2_ATTN_TRAIN_HB", "0"))
     if env_hb > 0:
         hb = math.gcd(env_hb, n)
+        if native and hb != n and hb % 8:
+            _warn_once(("hb-legal", B, n, L, d, hb),
+                       f"head-block {hb} is not Mosaic-legal in the "
+                       f"native layout (needs HB == n or HB % 8 == 0); "
+                       f"using {hb_cap}")
+            hb = hb_cap
         if hb > hb_cap:
             _warn_once(("hb", B, n, L, d, native, hb),
                        f"head-block {hb} exceeds the modeled bwd VMEM "

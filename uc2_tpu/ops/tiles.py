@@ -109,9 +109,20 @@ def max_train_hb(bb: int, n: int, L: int, d: int, native: bool = False,
     """Largest divisor of ``n`` (heads per grid cell) whose modeled bwd
     footprint fits the scoped-VMEM budget at batch-block ``bb``; 0 when
     even one head per cell does not fit. hb == n means the single-level
-    batch-only grid (the pre-round-5 geometry) is already safe."""
+    batch-only grid (the pre-round-5 geometry) is already safe.
+
+    native layout adds a Mosaic legality constraint on top of the VMEM
+    model: the head axis is the block's second-to-last dim ([BB, L, HB,
+    d]), and the Pallas TPU lowering requires that dim to be divisible
+    by 8 or equal to the full axis (n). Standard layout blocks are
+    [BB, HB, L, d] — the head axis is a leading dim, any divisor is
+    legal. The r5b chip race hit exactly this: native@HB=6 compiled the
+    VMEM model happily and then failed Mosaic's block-spec check
+    (output/tab_r5b_native.log)."""
     for cand in range(n, 0, -1):
         if n % cand:
+            continue
+        if native and cand != n and cand % 8:
             continue
         if attn_train_bwd_vmem_bytes(bb, n, L, d, native,
                                      rate, cand) <= VMEM_TRAIN_BUDGET:

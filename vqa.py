@@ -114,7 +114,7 @@ def main(opts):
 
         meter = RunningMeter("vqa_loss")
         from uc2_tpu.config import base_prng_key
-        rng_key = base_prng_key(opts.seed + 1, getattr(opts, 'rng_impl', 'threefry2x32'))
+        rng_key = base_prng_key(opts.seed + 1, getattr(opts, 'rng_impl', 'rbg'))
         global_step = int(state.step)
         while global_step < opts.num_train_steps:
             batch = loader.next_batch()
@@ -209,7 +209,7 @@ def build_parser():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--rng_impl",
                    choices=["threefry2x32", "rbg"],
-                   default="threefry2x32",
+                   default="rbg",
                    help="dropout PRNG: rbg = TPU hardware "
                         "RngBitGenerator (cheaper masks, "
                         "different streams)")
