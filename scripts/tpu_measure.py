@@ -492,27 +492,35 @@ def cmd_grad_profile(args):
     p_wo_emb, emb_leaf = _split_emb(params)
 
     def make_chain(fn, grad: bool, frozen_emb: bool, det: bool):
-        # fn(params, batch, key) -> (loss, aux)
+        # fn(params, batch, key) -> (loss, aux). The frozen word-embedding
+        # table rides as a RUNTIME ARGUMENT (differentiation stops at
+        # argnums=0), never a closure: jit bakes closed-over device arrays
+        # into the HLO as literal constants, and a 250k×768 fp32 table is
+        # ~768 MB of constant — past the axon tunnel's remote_compile
+        # request-body cap (the r5 frozenemb/encoder HTTP 413 failures,
+        # output/gp_r5.log).
         if frozen_emb:
             base = fn
-            fn = lambda p, b, k: base(_join_emb(p, emb_leaf), b, k)
+            fn2 = lambda p, emb, b, k: base(_join_emb(p, emb), b, k)
             p0 = p_wo_emb
         else:
+            base = fn
+            fn2 = lambda p, emb, b, k: base(p, b, k)
             p0 = params
 
         @jax.jit
-        def chain(p, batch, key):
+        def chain(p, emb, batch, key):
             def body(c, _):
                 b = dict(batch)
                 b["img_feat"] = batch["img_feat"] + c * 1e-30
                 kk = None if det else key
                 if grad:
                     (loss, _), grads = jax.value_and_grad(
-                        fn, has_aux=True)(p, b, kk)
+                        fn2, has_aux=True)(p, emb, b, kk)
                     tot = sum(jnp.sum(l.astype(jnp.float32))
                               for l in jax.tree_util.tree_leaves(grads))
                     return loss + tot * 1e-30 + c * 0.0, None
-                loss, _ = fn(p, b, kk)
+                loss, _ = fn2(p, emb, b, kk)
                 return loss + c * 0.0, None
             last, _ = jax.lax.scan(body, jnp.float32(0.0), None,
                                    length=args.iters)
@@ -538,14 +546,16 @@ def cmd_grad_profile(args):
         try:
             chain, p0 = make_chain(*spec)
             t0 = time.time()
-            last = float(chain(p0, batch, _mk_key(0, args.rng_impl)))
+            last = float(chain(p0, emb_leaf, batch,
+                                   _mk_key(0, args.rng_impl)))
             log(f"compile grad_profile {name}: {time.time() - t0:.1f}s")
             # loss sanity: full/nodrop/frozenemb share the real loss fn
             # (frozenemb must match full bit-for-bit — split/join pin)
             log(f"  loss {name}: {last:.6f}")
             for trial in range(args.trials):
                 t0 = time.perf_counter()
-                float(chain(p0, batch, _mk_key(trial, args.rng_impl)))
+                float(chain(p0, emb_leaf, batch,
+                            _mk_key(trial, args.rng_impl)))
                 dt = time.perf_counter() - t0
                 arm_ms = 1e3 * dt / args.iters
                 ms.setdefault(name, []).append(arm_ms)
@@ -676,6 +686,84 @@ def cmd_apply(args):
             f"{_rate(rate):.2f} applies/s "
             f"[{rate * traffic_gb:.0f} GB/s of ~{traffic_gb:.1f} GB state "
             f"traffic/apply; v5e HBM ~820 GB/s]")
+
+
+def cmd_fused(args):
+    """Probe the FUSED train step — grad + AdamW in ONE jitted program,
+    chained in a lax.scan (the program a real TPU host runs; reference
+    equivalent: the single optimizer.step() loop, pretrain.py:617-641).
+
+    Round 1 found this hangs the axon remote compiler (>60 min, killed —
+    BASELINE.md quirk log) and split grad/apply became the measurement
+    workaround (`--split_step`). Two things changed since then: the
+    harnesses stopped closing device arrays over jit bodies (the r5e
+    HTTP-413 root cause — closure constants become HLO literals and blow
+    up the remote_compile request body), and this probe logs compile
+    wall-time with a hard outer `timeout` so a hang costs minutes, not an
+    hour. If it compiles, the measured chained rate SUPERSEDES the derived
+    split-step 1/(1/grad + 1/apply) and quantifies what the two-dispatch
+    split costs; if it still hangs, rc=124 documents the transport bug
+    with a bounded spend."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from uc2_tpu.config import UC2Config
+    from uc2_tpu.models.pretraining import UC2ForPretraining
+    from uc2_tpu.training import optim as O
+    from uc2_tpu.training.step import make_loss_fn
+
+    rng = np.random.default_rng(0)
+    cfg = UC2Config(dtype=args.dtype,   # default attention (pallas-train)
+                    num_hidden_layers=args.layers)
+    model = UC2ForPretraining(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    loss_fn = make_loss_fn(model, args.task)
+    tx = O.build_optimizer(params, O.constant(4e-5), grad_norm=5.0)
+    opt_state = jax.jit(tx.init)(params)
+
+    B, Lt, Nb, M = args.batch, args.txt_len, args.num_bb, args.masked
+    batch = _scoring_batch(rng, B, Lt, Nb, cfg.vocab_size)
+    batch["masked_pos"] = jnp.asarray(
+        rng.integers(1, Lt, (B, M)).astype(np.int32))
+    batch["masked_weight"] = jnp.ones((B, M), np.float32)
+    batch["txt_labels"] = jnp.asarray(
+        rng.integers(4, cfg.vocab_size, (B, M)).astype(np.int32))
+
+    @jax.jit
+    def chain(params, opt_state, batch, key):
+        def body(carry, i):
+            p, s, c = carry
+            b = dict(batch)
+            b["img_feat"] = batch["img_feat"] + c * 1e-30
+            (loss, _), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p, b, jax.random.fold_in(key, i))
+            updates, s = tx.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            # every updated leaf folds into the carry — params feed the
+            # next iteration anyway, but the LAST iteration's update must
+            # also stay live (DCE discipline, DESIGN.md post-mortem #3)
+            tot = sum(jnp.sum(l.astype(jnp.float32))
+                      for l in jax.tree_util.tree_leaves(p))
+            return (p, s, tot * 1e-30 + loss * 0.0), loss
+        (p, s, c), losses = jax.lax.scan(
+            body, (params, opt_state, jnp.float32(0.0)),
+            jnp.arange(args.iters))
+        return c + jnp.sum(losses) * 1e-30, losses[-1]
+
+    t0 = time.time()
+    c, loss = chain(params, opt_state, batch, _mk_key(0, args.rng_impl))
+    float(c)
+    log(f"compile fused({args.task} B={B} rng={args.rng_impl}): "
+        f"{time.time() - t0:.1f}s  loss={float(loss):.6f}")
+    for trial in range(args.trials):
+        t0 = time.perf_counter()
+        float(chain(params, opt_state, batch,
+                    _mk_key(trial, args.rng_impl))[0])
+        dt = time.perf_counter() - t0
+        rate = args.iters / dt
+        log(f"RESULT fused {args.task} B={B} Lt={Lt} Nb={Nb} M={M} "
+            f"rng={args.rng_impl} trial{trial}: {_rate(rate):.2f} steps/s, "
+            f"{_rate(rate * B):.0f} ex/s " + _implied_tfs(rate, B, Lt, Nb, M))
 
 
 def cmd_pretrain_loop(args):
@@ -849,6 +937,17 @@ def main():
     pab.set_defaults(iters=8)
     pap = sub.add_parser("apply"); common(pap)
     pap.set_defaults(iters=16)
+    pf = sub.add_parser("fused"); common(pf)
+    pf.add_argument("--task", default="mlm")
+    pf.add_argument("--masked", type=int, default=24)
+    pf.add_argument("--rng_impl", choices=["threefry2x32", "rbg"],
+                    default="rbg",
+                    help="production default (rbg since round 5) — the "
+                         "probe's point of comparison is the split-step "
+                         "rate at the same PRNG")
+    pf.add_argument("--layers", type=int, default=12,
+                    help="encoder depth (shrink for CPU smoke tests)")
+    pf.set_defaults(iters=8)
     pgp = sub.add_parser("grad_profile"); common(pgp)
     pgp.add_argument("--task", default="mlm")
     pgp.add_argument("--masked", type=int, default=24)
@@ -907,7 +1006,7 @@ def main():
         log("device ready", round(time.time() - t0, 1))
     {"score": cmd_score, "ab": cmd_ab, "train": cmd_train,
      "score_snap": cmd_score_snap,
-     "train_ab": cmd_train_ab, "apply": cmd_apply,
+     "train_ab": cmd_train_ab, "apply": cmd_apply, "fused": cmd_fused,
      "grad_profile": cmd_grad_profile,
      "pretrain_loop": cmd_pretrain_loop, "eval": cmd_eval,
      "h2d": cmd_h2d}[args.cmd](args)
