@@ -729,8 +729,7 @@ def cmd_fused(args):
     batch["txt_labels"] = jnp.asarray(
         rng.integers(4, cfg.vocab_size, (B, M)).astype(np.int32))
 
-    @jax.jit
-    def chain(params, opt_state, batch, key):
+    def chain_fn(params, opt_state, batch, key):
         def body(carry, i):
             p, s, c = carry
             b = dict(batch)
@@ -748,21 +747,37 @@ def cmd_fused(args):
         (p, s, c), losses = jax.lax.scan(
             body, (params, opt_state, jnp.float32(0.0)),
             jnp.arange(args.iters))
-        return c + jnp.sum(losses) * 1e-30, losses[-1]
+        # return the updated state: outputs give donated inputs something
+        # to alias into (donation of a buffer with no same-shaped output
+        # is silently unusable — the r5g first-attempt mistake), and the
+        # trials THREAD state through, production-style
+        return p, s, c + jnp.sum(losses) * 1e-30, losses[-1]
+
+    # --donate matches the production fused step (make_train_step jits
+    # with donated state at the call site): without it the chain keeps a
+    # second fp32 copy of params+m+v (~3.3 GB at uc2-base) live as the
+    # preserved inputs, which is pure HBM pressure on a 16G chip. State
+    # threads trial-to-trial (each call consumes the previous call's
+    # output buffers) so exactly one state copy ever exists.
+    chain = jax.jit(chain_fn,
+                    donate_argnums=(0, 1) if args.donate else ())
 
     t0 = time.time()
-    c, loss = chain(params, opt_state, batch, _mk_key(0, args.rng_impl))
+    p0, s0, c, loss = chain(params, opt_state, batch,
+                            _mk_key(0, args.rng_impl))
     float(c)
-    log(f"compile fused({args.task} B={B} rng={args.rng_impl}): "
-        f"{time.time() - t0:.1f}s  loss={float(loss):.6f}")
+    log(f"compile fused({args.task} B={B} rng={args.rng_impl} "
+        f"donate={args.donate}): {time.time() - t0:.1f}s  "
+        f"loss={float(loss):.6f}")
     for trial in range(args.trials):
         t0 = time.perf_counter()
-        float(chain(params, opt_state, batch,
-                    _mk_key(trial, args.rng_impl))[0])
+        p0, s0, c, _ = chain(p0, s0, batch, _mk_key(trial, args.rng_impl))
+        float(c)
         dt = time.perf_counter() - t0
         rate = args.iters / dt
         log(f"RESULT fused {args.task} B={B} Lt={Lt} Nb={Nb} M={M} "
-            f"rng={args.rng_impl} trial{trial}: {_rate(rate):.2f} steps/s, "
+            f"rng={args.rng_impl} donate={int(args.donate)} "
+            f"trial{trial}: {_rate(rate):.2f} steps/s, "
             f"{_rate(rate * B):.0f} ex/s " + _implied_tfs(rate, B, Lt, Nb, M))
 
 
@@ -947,6 +962,10 @@ def main():
                          "rate at the same PRNG")
     pf.add_argument("--layers", type=int, default=12,
                     help="encoder depth (shrink for CPU smoke tests)")
+    pf.add_argument("--donate", action="store_true",
+                    help="donate params+opt_state into the chain (the "
+                         "production fused step's memory profile); each "
+                         "trial re-inits state on device")
     pf.set_defaults(iters=8)
     pgp = sub.add_parser("grad_profile"); common(pgp)
     pgp.add_argument("--task", default="mlm")
