@@ -288,7 +288,13 @@ def cmd_train_ab(args):
     else:
         all_arms = (("xla", 0), ("pallas-train", 0),
                     ("pallas-train+ce8", 8), ("pallas-train+ffnt", 0),
-                    ("pallas-train+rbg", 0), ("pallas-train+native", 0))
+                    ("pallas-train+rbg", 0), ("pallas-train+native", 0),
+                    # remat arms (round 5): the fused-vs-split race showed
+                    # HBM pressure costs real schedule quality at B=128 —
+                    # maybe shrinking the activation live set beats the
+                    # recompute tax. Run under rbg (production default).
+                    ("pallas-train+rbg+rematdots", 0),
+                    ("pallas-train+rbg+rematfull", 0))
     want = set(args.arms.split(",")) if args.arms else None
     selected = [a for a in all_arms if want is None or a[0] in want]
     if not selected:
@@ -342,7 +348,8 @@ def cmd_train_ab(args):
         os.environ["UC2_ATTN_TRAIN_LAYOUT"] = ("native"
                                                if impl.endswith("+native")
                                                else "")
-        cfg = UC2Config(dtype=args.dtype,
+        remat = (impl.split("+remat")[1] if "+remat" in impl else "none")
+        cfg = UC2Config(dtype=args.dtype, remat=remat,
                         use_pallas_attention=(False if impl == "xla"
                                               else "pallas-train"))
         model = UC2ForPretraining(cfg, lm_ce_chunks=ce)
@@ -371,7 +378,7 @@ def cmd_train_ab(args):
                                    length=args.iters)
             return last
 
-        kimpl = "rbg" if impl.endswith("+rbg") else "threefry2x32"
+        kimpl = "rbg" if "+rbg" in impl else "threefry2x32"
         # compile + measure THIS arm before touching the next: round 4
         # compiled all six arms up front, so the native arm's compile
         # failure nullified five already-compiled arms' measurements
