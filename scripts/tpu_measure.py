@@ -351,7 +351,8 @@ def cmd_train_ab(args):
         remat = (impl.split("+remat")[1] if "+remat" in impl else "none")
         cfg = UC2Config(dtype=args.dtype, remat=remat,
                         use_pallas_attention=(False if impl == "xla"
-                                              else "pallas-train"))
+                                              else "pallas-train"),
+                        num_hidden_layers=args.layers)
         model = UC2ForPretraining(cfg, lm_ce_chunks=ce)
         if params is None:
             # ONE resident params copy shared by every arm (identical
@@ -950,6 +951,8 @@ def main():
     pab = sub.add_parser("train_ab"); common(pab)
     pab.add_argument("--task", default="mlm")
     pab.add_argument("--masked", type=int, default=24)
+    pab.add_argument("--layers", type=int, default=12,
+                     help="encoder depth (CPU tests shrink it)")
     pab.add_argument("--arms", default="",
                      help="comma list of arms to run (default: all 4), "
                           "e.g. 'pallas-train' for a batch-size sweep")
