@@ -29,8 +29,10 @@ mark "job3 done rc=$?"
 
 # job4: attention-train BB tile sweep (end-to-end arms; heuristic=BB1 at L=162)
 mark "job4 attn-BB sweep start"
+# (--arms dropped: a BB sweep names its own arms, and tpu_measure now
+# hard-errors when both flags are passed — ADVICE r4 low #3)
 timeout 3000 python scripts/tpu_measure.py train_ab --batch 128 \
-  --arms pallas-train --attn_bb_list 0,2,4,8 > output/bb_r4.log 2>&1
+  --attn_bb_list 0,2,4,8 > output/bb_r4.log 2>&1
 mark "job4 done rc=$?"
 
 # job5: scoring fused-attn-block snap race (gcd vs div) at the two L>=128 buckets
@@ -44,7 +46,18 @@ mark "job6 done rc=$?"
 # job7: on-chip demo drives of the remaining finetune families (vqa/nlvr2/ve)
 mark "job7 demo drives start"
 timeout 1200 python pretrain.py --config config/demo_pretrain.json > output/demo_pretrain.log 2>&1
-CKPT=output/demo_pretrain/ckpt/$(ls output/demo_pretrain/ckpt 2>/dev/null | grep model_step | sort -V | tail -1)
+echo "pretrain rc=$?" >> "$L"
+# Guard the glob (ADVICE r4 low #2): an empty milestone dir must skip the
+# demo drives loudly instead of handing each a bare directory path.
+# (pretrain.py's loader now also resolves directories to their newest
+# milestone, but the guard keeps the failure mode local and legible.)
+CKPT=$(ls output/demo_pretrain/ckpt/model_step* 2>/dev/null | sort -V | tail -1)
+if [ -z "$CKPT" ] || [ ! -f "$CKPT" ]; then
+  echo "no demo checkpoint on disk, skipping vqa/nlvr2/ve drives" >> "$L"
+  mark "job7 SKIPPED (no ckpt)"
+  mark "chip batch r4 done"
+  exit 0
+fi
 timeout 900 python vqa.py --checkpoint "$CKPT" \
   --train_txt_db data/demo/en/txt_db --train_img_db data/demo/en/img_db \
   --val_txt_db data/demo/en/txt_db --val_img_db data/demo/en/img_db \
