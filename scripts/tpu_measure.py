@@ -19,6 +19,7 @@ import argparse
 import dataclasses
 import math
 import os
+import re
 import sys
 import time
 
@@ -294,7 +295,16 @@ def cmd_train_ab(args):
                     # maybe shrinking the activation live set beats the
                     # recompute tax. Run under rbg (production default).
                     ("pallas-train+rbg+rematdots", 0),
-                    ("pallas-train+rbg+rematfull", 0))
+                    ("pallas-train+rbg+rematfull", 0),
+                    # raised-scoped-VMEM arms (round 5m): Mosaic's 16 MiB
+                    # limit is compiler accounting, not hardware — a
+                    # per-kernel CompilerParams(vmem_limit_bytes) raise
+                    # unlocks the BB=2/BB=4 batch blocks and the native
+                    # layout that OOM'd in round 4 (tiles.train_vmem_limit)
+                    ("pallas-train+rbg+vmem32@bb2", 0),
+                    ("pallas-train+rbg+vmem64@bb4", 0),
+                    ("pallas-train+rbg+native+vmem32", 0),
+                    ("pallas-train+rbg+native+vmem64", 0))
     want = set(args.arms.split(",")) if args.arms else None
     selected = [a for a in all_arms if want is None or a[0] in want]
     if not selected:
@@ -305,10 +315,23 @@ def cmd_train_ab(args):
     # the Mosaic compile 50 minutes into a chip job (round 4 lost the
     # native + BB=2 races that way; tiles.py model, test-pinned)
     from uc2_tpu.ops.tiles import max_train_bb, max_train_hb
+
+    def _arm_vmem(impl):
+        # "+vmemNN" token: raised Mosaic scoped-VMEM limit (MiB) for the
+        # train kernels; must be in env BEFORE the tiles gate functions
+        # run (they read it at call time, the kernels at trace time)
+        m = re.search(r"\+vmem(\d+)", impl)
+        return m.group(1) if m else ""
+
     n_heads, d_head, Lj = 12, 64, Lt + Nb
     gated = []
     for impl, ce in selected:
-        native = impl.endswith("+native")
+        native = "+native" in impl
+        vm = _arm_vmem(impl)
+        if vm:
+            os.environ["UC2_ATTN_TRAIN_VMEM_MB"] = vm
+        else:
+            os.environ.pop("UC2_ATTN_TRAIN_VMEM_MB", None)
         # the kernel's layout resolver head-splits the grid when the
         # full-head cell would OOM (flash_attention._train_layout), so an
         # arm is infeasible only when even (BB=1, HB=1) does not fit;
@@ -339,14 +362,19 @@ def cmd_train_ab(args):
     results = {}
     for impl, ce in gated:
         # trace-time env gates (encoder.py / flash_attention.py)
-        os.environ["UC2_FFN_TRAIN"] = "1" if impl.endswith("ffnt") else "0"
+        os.environ["UC2_FFN_TRAIN"] = "1" if "+ffnt" in impl else "0"
         os.environ["UC2_ATTN_TRAIN_BB"] = (impl.split("@bb")[1]
                                            if "@bb" in impl else "0")
+        vm = _arm_vmem(impl)
+        if vm:
+            os.environ["UC2_ATTN_TRAIN_VMEM_MB"] = vm
+        else:
+            os.environ.pop("UC2_ATTN_TRAIN_VMEM_MB", None)
         # +native: q/k/v head-axis move happens in VMEM inside the train
         # kernel instead of host-side HBM transposes around the custom
         # call (bitwise-identical program, test_flash_train pin)
         os.environ["UC2_ATTN_TRAIN_LAYOUT"] = ("native"
-                                               if impl.endswith("+native")
+                                               if "+native" in impl
                                                else "")
         remat = (impl.split("+remat")[1] if "+remat" in impl else "none")
         cfg = UC2Config(dtype=args.dtype, remat=remat,
@@ -404,7 +432,7 @@ def cmd_train_ab(args):
             log(f"ARM-FAILED train_ab {impl}: {type(e).__name__}: "
                 f"{str(e)[:300]}")
     for k in ("UC2_FFN_TRAIN", "UC2_ATTN_TRAIN_BB",
-              "UC2_ATTN_TRAIN_LAYOUT"):
+              "UC2_ATTN_TRAIN_LAYOUT", "UC2_ATTN_TRAIN_VMEM_MB"):
         os.environ.pop(k, None)
     if results:
         best = {impl: max(v) for impl, v in results.items()}

@@ -381,11 +381,20 @@ def _train_bb(B, n, L, d, rate, native, hb=0):
     """
     import os
     hb = hb or n
-    env = int(os.environ.get("UC2_ATTN_TRAIN_BB", "0"))
-    bb = env if env > 0 else max(1, (4 * 1024 * 1024) // (4 * hb * L * L * 4))
-    from uc2_tpu.ops.tiles import max_train_bb, snap_bb
-    bb = snap_bb(bb, B)   # gcd default; UC2_BB_SNAP=div for A/Bs
+    from uc2_tpu.ops.tiles import (max_train_bb, snap_bb, train_vmem_limit,
+                                   VMEM_SCOPED_LIMIT)
     cap = max_train_bb(B, n, L, d, native=native, rate=rate, hb=hb)
+    env = int(os.environ.get("UC2_ATTN_TRAIN_BB", "0"))
+    if env > 0:
+        bb = env
+    elif train_vmem_limit() > VMEM_SCOPED_LIMIT:
+        # a raised scoped-VMEM limit (UC2_ATTN_TRAIN_VMEM_MB) with no
+        # explicit BB means "use the room": take the largest block the
+        # modeled budget admits at that limit
+        bb = max(1, cap)
+    else:
+        bb = max(1, (4 * 1024 * 1024) // (4 * hb * L * L * 4))
+    bb = snap_bb(bb, B)   # gcd default; UC2_BB_SNAP=div for A/Bs
     if cap and bb > cap:
         _warn_once(("bb", B, n, L, d, native, bb),
                    f"batch-block {bb} exceeds the modeled bwd VMEM budget "
@@ -428,6 +437,21 @@ def _train_specs(B, L, n, d, native, BB, HB):
     return grid, head_spec, bias_spec, db_spec, two_d
 
 
+def _train_compiler_params():
+    """Per-kernel Mosaic scoped-VMEM override for the training kernels.
+
+    None (→ Mosaic's own default, the chip-proven program, bit-identical
+    to every raced artifact) unless ``UC2_ATTN_TRAIN_VMEM_MB`` raises the
+    limit — the 16 MiB default is compiler accounting, not hardware
+    (v5e: 128 MiB VMEM/core), and it is exactly what OOM'd the BB=2 and
+    native-layout arms in round 4 (tiles.py calibration note)."""
+    from uc2_tpu.ops.tiles import train_vmem_limit, VMEM_SCOPED_LIMIT
+    lim = train_vmem_limit()
+    if lim <= VMEM_SCOPED_LIMIT:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=lim)
+
+
 def _fwd_train(q, k, v, bias, seed, rate, interpret=False):
     B, L, n, d = q.shape
     native, BB, HB = _train_layout(B, n, L, d, rate)
@@ -456,6 +480,7 @@ def _fwd_train(q, k, v, bias, seed, rate, interpret=False):
         out_shape=jax.ShapeDtypeStruct((B, L, n, d) if native
                                        else (B, n, L, d), q.dtype),
         interpret=interpret,
+        compiler_params=_train_compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * n * L * L * d,
             bytes_accessed=(4 * B * L * n * d) * q.dtype.itemsize,
@@ -496,6 +521,7 @@ def _bwd_train(q, k, v, bias, seed, rate, g, interpret=False):
                    jax.ShapeDtypeStruct(oshape, v.dtype),
                    jax.ShapeDtypeStruct((B, nh, 1, L), jnp.float32)),
         interpret=interpret,
+        compiler_params=_train_compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=11 * B * n * L * L * d,
             bytes_accessed=(8 * B * L * n * d) * q.dtype.itemsize,

@@ -49,6 +49,35 @@ VMEM_SCOPED_LIMIT = 16 * 1024 * 1024
 VMEM_TRAIN_BUDGET = int(15.5 * 1024 * 1024)
 
 
+def train_vmem_limit() -> int:
+    """Scoped-VMEM limit (bytes) for the TRAINING attention kernels.
+
+    Mosaic's 16 MiB default is a compiler accounting cap, not hardware —
+    v5e has 128 MiB of VMEM per core. ``UC2_ATTN_TRAIN_VMEM_MB`` raises
+    the cap per-kernel (flash_attention passes it to Mosaic via
+    ``pltpu.CompilerParams(vmem_limit_bytes=...)``), which is what makes
+    batch-blocks > 1 and the native layout compilable at the production
+    bucket (both OOM'd the 16 MiB default in round 4: 21.49M / 24.10M
+    observed). Clamped to [16, 100] MiB — above ~100 MiB the pipeline's
+    double-buffered operand blocks no longer fit beside the scratch.
+    Trace-time env, like the other tile knobs."""
+    mb = int(os.environ.get("UC2_ATTN_TRAIN_VMEM_MB", "0") or 0)
+    if mb <= 0:
+        return VMEM_SCOPED_LIMIT
+    return min(max(mb, 16), 100) * 1024 * 1024
+
+
+def train_vmem_budget() -> int:
+    """Gate budget under the (possibly raised) limit. The footprint model
+    over-predicts ~10% vs Mosaic's own accounting (calibration note on
+    attn_train_bwd_vmem_bytes), so ~97% of the limit keeps the same
+    safety margin the 15.5M/16M default ships with."""
+    lim = train_vmem_limit()
+    if lim == VMEM_SCOPED_LIMIT:
+        return VMEM_TRAIN_BUDGET
+    return int(lim * 15.5 / 16)
+
+
 def _pad(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -99,7 +128,7 @@ def max_train_bb(B: int, n: int, L: int, d: int, native: bool = False,
         if B % cand:
             continue
         if attn_train_bwd_vmem_bytes(cand, n, L, d, native,
-                                     rate, hb) <= VMEM_TRAIN_BUDGET:
+                                     rate, hb) <= train_vmem_budget():
             best = cand
     return best
 
@@ -125,6 +154,6 @@ def max_train_hb(bb: int, n: int, L: int, d: int, native: bool = False,
         if native and cand != n and cand % 8:
             continue
         if attn_train_bwd_vmem_bytes(bb, n, L, d, native,
-                                     rate, cand) <= VMEM_TRAIN_BUDGET:
+                                     rate, cand) <= train_vmem_budget():
             return cand
     return 0
