@@ -303,6 +303,7 @@ def cmd_train_ab(args):
                     # layout that OOM'd in round 4 (tiles.train_vmem_limit)
                     ("pallas-train+rbg+vmem32@bb2", 0),
                     ("pallas-train+rbg+vmem64@bb4", 0),
+                    ("pallas-train+rbg+vmem100@bb8", 0),
                     ("pallas-train+rbg+native+vmem32", 0),
                     ("pallas-train+rbg+native+vmem64", 0))
     want = set(args.arms.split(",")) if args.arms else None
