@@ -91,12 +91,16 @@ def test_backward_is_gradient_of_forward(rate):
     _check_backward_is_gradient(rate, B, L, n, d)
 
 
-def test_backward_mask_consistency_at_bb_divergent_shape():
+def test_backward_mask_consistency_at_bb_divergent_shape(monkeypatch):
     """Regression: fwd used to size its batch block with tensors=2 while
     bwd used tensors=4, so at shapes where those differ (here: old fwd
     BB=4, bwd BB=2) the backward regenerated a DIFFERENT dropout mask and
     returned silently wrong gradients. The shared _train_bb fixes it; this
-    pins the fix with finite differences through the dropout mask."""
+    pins the fix with finite differences through the dropout mask. Runs
+    under the legacy 16 MiB limit — the divergence precondition is a
+    property of the legacy sizing heuristic (the shipped 64 MiB default's
+    BB-target-4 lands on 4 at this shape, erasing the setup)."""
+    monkeypatch.setenv("UC2_ATTN_TRAIN_VMEM_MB", "16")
     from uc2_tpu.ops.flash_attention import _train_bb
     Bx, Lx, nx, dx = 4, 256, 2, 32
     # the shape must be one where the OLD tensors=2 sizing disagreed
@@ -161,13 +165,16 @@ def test_native_layout_arm_bitwise_equal(rate, monkeypatch):
                                       err_msg=name)
 
 
-def test_bwd_vmem_model_calibration():
+def test_bwd_vmem_model_calibration(monkeypatch):
     """Pin tiles' bwd VMEM model to the two on-chip Mosaic OOMs it was
     calibrated against (v5e, 2026-08-19) plus the known-good production
     config — so a model edit that would re-admit an OOM'ing tile fails
-    here instead of in a 50-minute chip job."""
+    here instead of in a 50-minute chip job. The calibration is against
+    Mosaic's own 16 MiB accounting, so pin the legacy limit (the shipped
+    default has been 64 MiB since r5o; test_vmem_raise covers it)."""
     from uc2_tpu.ops.tiles import (VMEM_SCOPED_LIMIT, VMEM_TRAIN_BUDGET,
                                    attn_train_bwd_vmem_bytes, max_train_bb)
+    monkeypatch.setenv("UC2_ATTN_TRAIN_VMEM_MB", "16")
     n, L, d = 12, 162, 64
     # known-good: standard layout BB=1 at the production bucket compiles
     assert attn_train_bwd_vmem_bytes(1, n, L, d, False, 0.1) \
@@ -191,6 +198,10 @@ def test_train_bb_clamps_env_request(monkeypatch):
     """An explicit UC2_ATTN_TRAIN_BB above the modeled budget is clamped
     before compile (round 4's BB=2 sweep arm died on chip instead)."""
     from uc2_tpu.ops.flash_attention import _train_bb, _train_layout
+    # legacy-limit behavior (the clamp data below was calibrated at 16
+    # MiB; the shipped 64 MiB default's geometry is pinned in
+    # test_vmem_raise.test_default_geometry_is_the_raced_peak)
+    monkeypatch.setenv("UC2_ATTN_TRAIN_VMEM_MB", "16")
     monkeypatch.setenv("UC2_ATTN_TRAIN_BB", "2")
     assert _train_bb(128, 12, 162, 64, 0.1, False) == 1
     monkeypatch.delenv("UC2_ATTN_TRAIN_BB")
@@ -217,6 +228,7 @@ def test_train_hb_resolution(monkeypatch):
     n, clamped to the modeled budget; 0/unset keeps the largest fitting
     divisor (= n whenever the pre-round-5 batch-only grid was safe)."""
     from uc2_tpu.ops.flash_attention import _train_layout
+    monkeypatch.setenv("UC2_ATTN_TRAIN_VMEM_MB", "16")
     monkeypatch.setenv("UC2_ATTN_TRAIN_HB", "6")
     assert _train_layout(128, 12, 162, 64, 0.1)[2] == 6
     monkeypatch.setenv("UC2_ATTN_TRAIN_HB", "8")   # not a divisor → gcd 4

@@ -388,10 +388,14 @@ def _train_bb(B, n, L, d, rate, native, hb=0):
     if env > 0:
         bb = env
     elif train_vmem_limit() > VMEM_SCOPED_LIMIT:
-        # a raised scoped-VMEM limit (UC2_ATTN_TRAIN_VMEM_MB) with no
-        # explicit BB means "use the room": take the largest block the
-        # modeled budget admits at that limit
-        bb = max(1, cap)
+        # raised limit (the shipped 64 MiB default since r5o): target the
+        # chip-raced peak BB=4 — NOT "use the room": BB=8 fits at 100 MiB
+        # and measured SLOWER (r5n, 6.35 vs 6.48 steps/s; the per-cell
+        # serial chain outgrows the grid's ability to hide it). Small
+        # shapes keep the legacy heuristic when it asked for more (its
+        # large blocks there are long-proven), clamped by the model.
+        legacy = (4 * 1024 * 1024) // (4 * hb * L * L * 4)
+        bb = max(1, min(4, cap), legacy)
     else:
         bb = max(1, (4 * 1024 * 1024) // (4 * hb * L * L * 4))
     bb = snap_bb(bb, B)   # gcd default; UC2_BB_SNAP=div for A/Bs
@@ -440,11 +444,14 @@ def _train_specs(B, L, n, d, native, BB, HB):
 def _train_compiler_params():
     """Per-kernel Mosaic scoped-VMEM override for the training kernels.
 
-    None (→ Mosaic's own default, the chip-proven program, bit-identical
-    to every raced artifact) unless ``UC2_ATTN_TRAIN_VMEM_MB`` raises the
-    limit — the 16 MiB default is compiler accounting, not hardware
-    (v5e: 128 MiB VMEM/core), and it is exactly what OOM'd the BB=2 and
-    native-layout arms in round 4 (tiles.py calibration note)."""
+    The shipped default is 64 MiB (tiles.TRAIN_VMEM_DEFAULT_MB, raced on
+    chip r5m/r5n/r5o — it admits the BB=4 block that wins-or-ties at
+    every token-budget bucket). Mosaic's own 16 MiB is compiler
+    accounting, not hardware (v5e: 128 MiB VMEM/core), and is exactly
+    what OOM'd the BB=2 and native-layout arms in round 4 (tiles.py
+    calibration note); ``UC2_ATTN_TRAIN_VMEM_MB=16`` restores it, in
+    which case Mosaic gets *no* compiler params (the pre-r5o program,
+    bit-identical)."""
     from uc2_tpu.ops.tiles import train_vmem_limit, VMEM_SCOPED_LIMIT
     lim = train_vmem_limit()
     if lim <= VMEM_SCOPED_LIMIT:

@@ -49,21 +49,32 @@ VMEM_SCOPED_LIMIT = 16 * 1024 * 1024
 VMEM_TRAIN_BUDGET = int(15.5 * 1024 * 1024)
 
 
+# Shipped default for the TRAINING attention kernels' scoped-VMEM limit
+# (MiB). 64 was raced on chip 2026-08-20 (r5m/r5n/r5o): it admits the
+# BB=4 batch block that wins-or-ties at every token-budget bucket
+# (L=98 +0.5%, L=128 wash, L=162 +1.6% over the 16 MiB geometry);
+# 100 MiB admits BB=8, which measured SLOWER (6.35 vs 6.48 steps/s).
+TRAIN_VMEM_DEFAULT_MB = 64
+
+
 def train_vmem_limit() -> int:
     """Scoped-VMEM limit (bytes) for the TRAINING attention kernels.
 
     Mosaic's 16 MiB default is a compiler accounting cap, not hardware —
-    v5e has 128 MiB of VMEM per core. ``UC2_ATTN_TRAIN_VMEM_MB`` raises
-    the cap per-kernel (flash_attention passes it to Mosaic via
-    ``pltpu.CompilerParams(vmem_limit_bytes=...)``), which is what makes
-    batch-blocks > 1 and the native layout compilable at the production
-    bucket (both OOM'd the 16 MiB default in round 4: 21.49M / 24.10M
-    observed). Clamped to [16, 100] MiB — above ~100 MiB the pipeline's
-    double-buffered operand blocks no longer fit beside the scratch.
-    Trace-time env, like the other tile knobs."""
+    v5e has 128 MiB of VMEM per core. The shipped default is
+    ``TRAIN_VMEM_DEFAULT_MB`` (64, chip-raced); ``UC2_ATTN_TRAIN_VMEM_MB``
+    overrides it per-process (``16`` restores the legacy Mosaic default
+    bit-exactly: flash_attention then hands Mosaic *no* compiler params).
+    flash_attention passes raised limits to Mosaic via
+    ``pltpu.CompilerParams(vmem_limit_bytes=...)``, which is what makes
+    batch-blocks > 1 compilable at the production bucket (BB=2 OOM'd the
+    16 MiB default in round 4: 21.49M observed). Clamped to [16, 100]
+    MiB — above ~100 MiB the pipeline's double-buffered operand blocks
+    no longer fit beside the scratch. Trace-time env, like the other
+    tile knobs."""
     mb = int(os.environ.get("UC2_ATTN_TRAIN_VMEM_MB", "0") or 0)
     if mb <= 0:
-        return VMEM_SCOPED_LIMIT
+        mb = TRAIN_VMEM_DEFAULT_MB
     return min(max(mb, 16), 100) * 1024 * 1024
 
 
